@@ -1,0 +1,8 @@
+"""Flax model zoo: HRNet pose network, person detectors, VGG/AdaIN stylizer.
+
+TPU-first redesigns of the reference model families (SURVEY.md §2.4):
+NHWC layouts, bf16-friendly compute, static shapes, and no data-dependent
+Python control flow under jit.
+"""
+
+from stlpose_tpu.models.hrnet import PoseHighResolutionNet, create_hrnet

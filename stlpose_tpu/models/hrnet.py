@@ -1,0 +1,225 @@
+"""
+HRNet pose network (W32, 256x192 -> 64x48x17 heatmaps) in Flax.
+
+TPU-first re-design of the reference architecture
+(reference: models/HRnet.py:275-468, config models/utils/hrnet_config.py):
+same topology — stride-4 stem, one Bottleneck stage, three multi-resolution
+stages of BasicBlock branches with cross-resolution fusion, 1x1 head — but
+
+  * NHWC layout end to end (TPU convolution native layout),
+  * a ``dtype`` policy: params live in float32, compute can run in bfloat16
+    (MXU native), BatchNorm statistics always accumulate in float32,
+  * nearest-neighbor up-fusion expressed as reshape+broadcast (no gather),
+  * the whole forward is a single XLA program under ``jit``; branch/fusion
+    structure is unrolled at trace time from the static config.
+
+Module names are chosen so a PyTorch ``state_dict`` from the reference
+checkpoints maps 1:1 (see models/convert.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from stlpose_tpu.config import HRNetConfig, HRNetStageConfig, get_hrnet_config
+
+ModuleDef = Any
+
+
+def _upsample_nearest(x, factor: int):
+    """Nearest-neighbor 2^k upsample in NHWC via reshape+broadcast."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                         (n, h, factor, w, factor, c))
+    return x.reshape(n, h * factor, w * factor, c)
+
+
+class ConvBN(nn.Module):
+    """conv (no bias) + BatchNorm, optional ReLU."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    dtype: Any = jnp.float32
+    bn_momentum: float = 0.1
+    bn_epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=1.0 - self.bn_momentum,
+                         epsilon=self.bn_epsilon, dtype=jnp.float32,
+                         name="bn")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x.astype(self.dtype)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with residual (reference: models/HRnet.py:32-61)."""
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = ConvBN(self.features, 3, self.stride, relu=True,
+                   dtype=self.dtype, name="cb1")(x, train)
+        y = ConvBN(self.features, 3, 1, relu=False,
+                   dtype=self.dtype, name="cb2")(y, train)
+        if self.downsample:
+            residual = ConvBN(self.features, 1, self.stride, relu=False,
+                              dtype=self.dtype, name="down")(x, train)
+        return nn.relu(y + residual).astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1(x4) with residual (reference: models/HRnet.py:64-102)."""
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = ConvBN(self.features, 1, 1, relu=True, dtype=self.dtype,
+                   name="cb1")(x, train)
+        y = ConvBN(self.features, 3, self.stride, relu=True, dtype=self.dtype,
+                   name="cb2")(y, train)
+        y = ConvBN(self.features * self.expansion, 1, 1, relu=False,
+                   dtype=self.dtype, name="cb3")(y, train)
+        if self.downsample:
+            residual = ConvBN(self.features * self.expansion, 1, self.stride,
+                              relu=False, dtype=self.dtype,
+                              name="down")(x, train)
+        return nn.relu(y + residual).astype(self.dtype)
+
+
+class HighResolutionModule(nn.Module):
+    """Parallel branches + all-to-all cross-resolution fusion
+    (reference: models/HRnet.py:105-266)."""
+    stage: HRNetStageConfig
+    multi_scale_output: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        cfg = self.stage
+        chans = cfg.num_channels
+        # branches
+        ys = []
+        for b in range(cfg.num_branches):
+            y = xs[b]
+            for k in range(cfg.num_blocks[b]):
+                y = BasicBlock(chans[b], dtype=self.dtype,
+                               name=f"branch{b}_block{k}")(y, train)
+            ys.append(y)
+        if cfg.num_branches == 1:
+            return ys
+
+        n_out = cfg.num_branches if self.multi_scale_output else 1
+        fused = []
+        for i in range(n_out):
+            acc = None
+            for j in range(cfg.num_branches):
+                if j == i:
+                    z = ys[j]
+                elif j > i:
+                    # channel-align then nearest-upsample 2^(j-i)
+                    z = ConvBN(chans[i], 1, 1, relu=False, dtype=self.dtype,
+                               name=f"fuse{i}_{j}")(ys[j], train)
+                    z = _upsample_nearest(z, 2 ** (j - i))
+                else:
+                    # (i-j) strided 3x3 downs; last has target channels, no relu
+                    z = ys[j]
+                    for k in range(i - j):
+                        last = (k == i - j - 1)
+                        z = ConvBN(chans[i] if last else chans[j], 3, 2,
+                                   relu=not last, dtype=self.dtype,
+                                   name=f"fuse{i}_{j}_{k}")(z, train)
+                acc = z if acc is None else acc + z
+            fused.append(nn.relu(acc).astype(self.dtype))
+        return fused
+
+
+class PoseHighResolutionNet(nn.Module):
+    """HRNet keypoint-heatmap regressor.
+
+    Input (N, 256, 192, 3) NHWC; output (N, 64, 48, num_joints) heatmaps.
+    """
+    config: HRNetConfig = get_hrnet_config("w32_256x192")
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        x = x.astype(self.dtype)
+
+        # stem: two stride-2 3x3 convs (reference: models/HRnet.py:290-296)
+        x = ConvBN(cfg.stem_channels, 3, 2, dtype=self.dtype,
+                   name="stem1")(x, train)
+        x = ConvBN(cfg.stem_channels, 3, 2, dtype=self.dtype,
+                   name="stem2")(x, train)
+
+        # layer1: Bottleneck stack at full stage resolution
+        for k in range(cfg.stage1_num_blocks):
+            x = Bottleneck(cfg.stem_channels, downsample=(k == 0),
+                           dtype=self.dtype, name=f"layer1_{k}")(x, train)
+
+        xs = [x]
+        prev_channels = [cfg.stem_channels * 4]
+        for s, stage in enumerate((cfg.stage2, cfg.stage3, cfg.stage4),
+                                  start=2):
+            # transition: align existing branches, spawn new lowest branch
+            # (reference: models/HRnet.py:341-380)
+            nxt = []
+            for i in range(stage.num_branches):
+                if i < len(prev_channels):
+                    if prev_channels[i] != stage.num_channels[i]:
+                        z = ConvBN(stage.num_channels[i], 3, 1,
+                                   dtype=self.dtype,
+                                   name=f"transition{s - 1}_{i}")(xs[i], train)
+                    else:
+                        z = xs[i]
+                else:
+                    z = xs[-1]
+                    for j in range(i + 1 - len(prev_channels)):
+                        out_ch = (stage.num_channels[i]
+                                  if j == i - len(prev_channels) else
+                                  prev_channels[-1])
+                        z = ConvBN(out_ch, 3, 2, dtype=self.dtype,
+                                   name=f"transition{s - 1}_{i}_{j}")(z, train)
+                nxt.append(z)
+            xs = nxt
+            is_last_stage = (s == 4)
+            for m in range(stage.num_modules):
+                mso = not (is_last_stage and m == stage.num_modules - 1)
+                xs = HighResolutionModule(stage, multi_scale_output=mso,
+                                          dtype=self.dtype,
+                                          name=f"stage{s}_m{m}")(xs, train)
+            prev_channels = list(stage.num_channels)
+
+        # final 1x1 head to heatmaps, fp32 output for a stable loss/decode
+        k = cfg.final_conv_kernel
+        pad = 1 if k == 3 else 0
+        heat = nn.Conv(cfg.num_joints, (k, k), strides=(1, 1),
+                       padding=[(pad, pad), (pad, pad)], use_bias=True,
+                       dtype=self.dtype, name="final_layer")(xs[0])
+        return heat.astype(jnp.float32)
+
+
+def create_hrnet(config_name: str = "w32_256x192", dtype=jnp.float32):
+    return PoseHighResolutionNet(config=get_hrnet_config(config_name),
+                                 dtype=dtype)

@@ -1,0 +1,86 @@
+"""Host-numpy/cv2 oracles reproducing the reference pipeline's numerical
+semantics (reference: lib/transforms.py, lib/pose_parsing.py). Used ONLY as
+golden references in tests — production code paths never import this module.
+"""
+
+import cv2
+import numpy as np
+
+
+def _third_point(a, b):
+    d = a - b
+    return b + np.array([-d[1], d[0]], dtype=np.float32)
+
+
+def _rotate(pt, rad):
+    sn, cs = np.sin(rad), np.cos(rad)
+    return np.array([pt[0] * cs - pt[1] * sn, pt[0] * sn + pt[1] * cs])
+
+
+def get_affine_transform_cv2(center, scale, rot, output_size,
+                             shift=np.array([0.0, 0.0]), inv=False):
+    """The reference's 3-point-pair construction solved by cv2
+    (lib/transforms.py:197-233)."""
+    scale = np.asarray(scale, np.float64)
+    scale_tmp = scale * 200.0
+    src_w = scale_tmp[0]
+    dst_w, dst_h = output_size
+    rad = np.pi * rot / 180.0
+    src_dir = _rotate([0, src_w * -0.5], rad)
+    dst_dir = np.array([0, dst_w * -0.5], np.float32)
+
+    src = np.zeros((3, 2), np.float32)
+    dst = np.zeros((3, 2), np.float32)
+    src[0] = np.asarray(center) + scale_tmp * shift
+    src[1] = np.asarray(center) + src_dir + scale_tmp * shift
+    dst[0] = [dst_w * 0.5, dst_h * 0.5]
+    dst[1] = np.array([dst_w * 0.5, dst_h * 0.5]) + dst_dir
+    src[2] = _third_point(src[0], src[1])
+    dst[2] = _third_point(dst[0], dst[1])
+    if inv:
+        return cv2.getAffineTransform(np.float32(dst), np.float32(src))
+    return cv2.getAffineTransform(np.float32(src), np.float32(dst))
+
+
+def warp_crop_cv2(img, center, scale, rot, output_size):
+    trans = get_affine_transform_cv2(center, scale, rot, output_size)
+    return cv2.warpAffine(img, trans,
+                          (int(output_size[0]), int(output_size[1])),
+                          flags=cv2.INTER_LINEAR)
+
+
+def get_max_preds_np(heatmaps):
+    """Reference argmax decode (lib/pose_parsing.py:16-55)."""
+    N, J, H, W = heatmaps.shape
+    flat = heatmaps.reshape(N, J, -1)
+    idx = np.argmax(flat, 2)
+    maxvals = np.amax(flat, 2).reshape(N, J, 1)
+    preds = np.tile(idx.reshape(N, J, 1), (1, 1, 2)).astype(np.float32)
+    preds[:, :, 0] = preds[:, :, 0] % W
+    preds[:, :, 1] = np.floor(preds[:, :, 1] / W)
+    preds *= np.tile(np.greater(maxvals, 0.0), (1, 1, 2)).astype(np.float32)
+    return preds, maxvals
+
+
+def get_final_preds_np(heatmaps, center, scale):
+    """Reference full decode with sub-pixel shift + un-warp
+    (lib/pose_parsing.py:58-92)."""
+    coords, maxvals = get_max_preds_np(heatmaps)
+    N, J, H, W = heatmaps.shape
+    for n in range(N):
+        for p in range(J):
+            hm = heatmaps[n][p]
+            px = int(np.floor(coords[n][p][0] + 0.5))
+            py = int(np.floor(coords[n][p][1] + 0.5))
+            if 1 < px < W - 1 and 1 < py < H - 1:
+                diff = np.array([hm[py][px + 1] - hm[py][px - 1],
+                                 hm[py + 1][px] - hm[py - 1][px]])
+                coords[n][p] += np.sign(diff) * 0.25
+    preds = coords.copy()
+    for i in range(N):
+        trans = get_affine_transform_cv2(center[i], scale[i], 0, (W, H),
+                                         inv=True)
+        for p in range(J):
+            pt = np.array([coords[i, p, 0], coords[i, p, 1], 1.0])
+            preds[i, p] = (trans @ pt)[:2]
+    return preds, maxvals, coords
