@@ -1,0 +1,157 @@
+"""
+Compiled data-parallel train/eval/inference steps.
+
+The reference's hot loop (reference: 02_train.py:195-239) does
+host-augmented batches -> DataParallel forward -> loss -> backward -> step,
+with a D2H sync every batch for the PCK metric. Here the WHOLE step —
+augmentation warps already done device-side upstream, forward, masked MSE,
+backward, optimizer update, BN stat update, and the PCK metric — is one XLA
+program under ``jit`` with sharding annotations: batch sharded over the
+mesh's data axis, state replicated, gradient psum inserted by the compiler.
+The step donates the train state so parameters update in place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P, NamedSharding
+
+from stlpose_tpu.ops.decode import heatmap_argmax
+from stlpose_tpu.ops.flip import average_flip_tta
+from stlpose_tpu.train.loss import person_mse_loss
+from stlpose_tpu.train.state import PoseTrainState
+
+
+def _nhwc_to_njhw(hm):
+    """(N, H, W, J) model output -> (N, J, H, W) metric/decode layout."""
+    return jnp.transpose(hm, (0, 3, 1, 2))
+
+
+def _pck_from_heatmaps(pred_njhw, target_njhw, thr=0.5):
+    """PCK with the reference's normalization quirks (see ops/pck.py),
+    reduced to scalars that average correctly across devices."""
+    H, W = pred_njhw.shape[2], pred_njhw.shape[3]
+    pred, _ = heatmap_argmax(pred_njhw)
+    gt, _ = heatmap_argmax(target_njhw)
+    norm = jnp.array([H, W], jnp.float32) / 10.0
+    valid = (gt[..., 0] > 1) & (gt[..., 1] > 1)
+    dist = jnp.linalg.norm((pred - gt) / norm, axis=-1)
+    hit = ((dist < thr) & valid).sum()
+    cnt = valid.sum()
+    return hit, cnt
+
+
+def make_train_step(model, tx, mesh, perceptual_cfg: dict | None = None,
+                    donate: bool = True) -> Callable:
+    """Build the compiled train step.
+
+    Args:
+      model: Flax module (NHWC in, NHWC heatmaps out).
+      tx: optax optimizer.
+      mesh: jax Mesh with a "data" axis.
+      perceptual_cfg: experiment dict for perceptual-loss weighting (None to
+        disable; see train/loss.py).
+    Returns:
+      step(state, batch) -> (state, metrics) compiled under jit; ``batch``
+      is {"image": (N,256,192,3), "target": (N,J,Hh,Hw),
+      "target_weight": (N,J), "perceptual_loss": (N,)}.
+    """
+    from stlpose_tpu.train.loss import apply_perceptual_loss
+
+    def loss_fn(params, batch_stats, batch):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+        pred = _nhwc_to_njhw(out)
+        loss = person_mse_loss(pred, batch["target"],
+                               batch["target_weight"])
+        if perceptual_cfg is not None:
+            loss = apply_perceptual_loss(
+                perceptual_cfg, loss, batch.get("perceptual_loss", 0.0))
+        return loss, (updates["batch_stats"], pred)
+
+    def step(state: PoseTrainState, batch):
+        (loss, (new_stats, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype), state.params, updates)
+        hit, cnt = _pck_from_heatmaps(pred, batch["target"])
+        metrics = {"loss": loss, "pck_hit": hit, "pck_cnt": cnt}
+        return PoseTrainState(params=params, batch_stats=new_stats,
+                              opt_state=opt_state, step=state.step + 1), metrics
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step,
+                   in_shardings=(repl, data),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, mesh, flip_tta: bool = False) -> Callable:
+    """Build the compiled eval step: forward (optionally with flip-TTA as a
+    single doubled-batch forward), loss, PCK, and heatmaps for decode.
+
+    The reference runs two sequential forwards for flip-TTA
+    (lib/inference.py:16-27); here the flipped copies are concatenated into
+    the same batch so the MXU sees one 2N matmul stream.
+    """
+
+    def step(state: PoseTrainState, batch):
+        imgs = batch["image"]
+        if flip_tta:
+            both = jnp.concatenate([imgs, imgs[:, :, ::-1, :]], axis=0)
+            out = model.apply(state.variables(), both, train=False)
+            n = imgs.shape[0]
+            direct = _nhwc_to_njhw(out[:n])
+            flipped = _nhwc_to_njhw(out[n:])
+            pred = average_flip_tta(direct, flipped)
+        else:
+            out = model.apply(state.variables(), imgs, train=False)
+            pred = _nhwc_to_njhw(out)
+        loss = person_mse_loss(pred, batch["target"],
+                               batch["target_weight"])
+        hit, cnt = _pck_from_heatmaps(pred, batch["target"])
+        return pred, {"loss": loss, "pck_hit": hit, "pck_cnt": cnt}
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, data),
+                   out_shardings=(data, repl))
+
+
+def make_infer_fn(model, mesh, flip_tta: bool = True,
+                  decode: bool = True) -> Callable:
+    """Build the compiled inference function: crops -> heatmaps -> decoded
+    keypoints in source-image coordinates, all in one XLA program
+    (SURVEY.md §7 "decode on device").
+
+    Returns fn(state, images, centers, scales) -> (preds (N,J,3), heatmaps).
+    """
+    from stlpose_tpu.ops.decode import decode_heatmaps
+
+    def infer(state: PoseTrainState, images, centers, scales):
+        if flip_tta:
+            n = images.shape[0]
+            both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
+            out = model.apply(state.variables(), both, train=False)
+            hm = average_flip_tta(_nhwc_to_njhw(out[:n]),
+                                  _nhwc_to_njhw(out[n:]))
+        else:
+            hm = _nhwc_to_njhw(model.apply(state.variables(), images,
+                                           train=False))
+        if not decode:
+            return hm
+        preds, maxvals, _ = decode_heatmaps(hm, centers, scales)
+        return jnp.concatenate([preds, maxvals[..., None]], axis=-1), hm
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(infer,
+                   in_shardings=(repl, data, data, data),
+                   out_shardings=(data, data) if decode else data)
