@@ -1,0 +1,157 @@
+"""
+Host -> device input pipeline.
+
+The reference trains with a single-threaded DataLoader (num_workers=0,
+reference: CONFIG.py:18) doing cv2 warps + Gaussian rendering per sample in
+the training process. Here the pipeline is split TPU-first:
+
+  host (thread pool): image decode + augmentation sampling + per-crop warp
+      (cv2 releases the GIL, so threads scale),
+  device (one jit program, amortized over the batch): ImageNet
+      normalization + Gaussian heatmap target rendering, fused by XLA into
+      the same program as the train step's first ops.
+
+Batches are padded to a multiple of the mesh size with a validity mask so
+shapes stay static under pjit; iteration order and augmentation
+distributions match the reference.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from typing import Iterator, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stlpose_tpu.data.pose_dataset import (AugmentationParams, PoseRecord,
+                                           process_sample, read_image,
+                                           IMAGE_SIZE, HEATMAP_SIZE)
+from stlpose_tpu.ops.heatmap import generate_targets
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@jax.jit
+def _device_finalize(crops, joints, vis):
+    """Batched on-device tail of the input pipeline: normalize + targets."""
+    x = (crops / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    target, weight = generate_targets(joints, vis,
+                                      heatmap_size=HEATMAP_SIZE,
+                                      image_size=IMAGE_SIZE)
+    return x, target, weight
+
+
+class PoseDataPipeline:
+    """Iterable over device-ready batches of pose crops.
+
+    Args:
+      records: list of PoseRecord.
+      batch_size: global batch size.
+      is_train: enables augmentation + (optional) shuffling.
+      exp_data: experiment params (augmentation knobs read from
+        exp_data["dataset"], reference: JointsDataset.py:51-55).
+      shuffle: shuffle each epoch.
+      num_workers: host decode/warp threads.
+      pad_multiple: pad final batch to a multiple (mesh size) with repeated
+        samples; "n_valid" in the batch marks real entries.
+      drop_last: drop the final partial batch (train loops).
+    """
+
+    def __init__(self, records: Sequence[PoseRecord], batch_size: int,
+                 is_train: bool, exp_data: dict | None = None,
+                 shuffle: bool = False, num_workers: int = 8,
+                 pad_multiple: int = 1, drop_last: bool = False,
+                 seed: int = 13):
+        self.records = list(records)
+        self.batch_size = batch_size
+        self.is_train = is_train
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.pad_multiple = pad_multiple
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+        self.aug = None
+        if is_train and exp_data is not None:
+            d = exp_data["dataset"]
+            self.aug = AugmentationParams(
+                scale_factor=d.get("scale_factor", 0.0),
+                rotation_factor=d.get("rot_factor", 0.0),
+                flip=d.get("flip", False),
+                num_joints_half_body=d.get("num_joints_half_body", 8),
+                prob_half_body=d.get("prob_half_body", 0.0),
+                seed=seed)
+        self._aug_lock = threading.Lock()
+
+    def __len__(self):
+        n = len(self.records)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _load_one(self, rec: PoseRecord):
+        img = read_image(rec.image)
+        if self.aug is not None:
+            with self._aug_lock:      # RNG draw must be serialized
+                c, s, r, f = self.aug.sample(rec.center, rec.scale,
+                                             rec.joints, rec.joints_vis)
+            frozen = _FrozenAug(c, s, r, f)
+            return process_sample(rec, img, frozen)
+        return process_sample(rec, img, None)
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.records))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, len(order), self.batch_size):
+                idx = order[start:start + self.batch_size]
+                if self.drop_last and len(idx) < self.batch_size:
+                    break
+                samples = list(pool.map(
+                    lambda i: self._load_one(self.records[i]), idx))
+                yield self._collate(samples, [self.records[i] for i in idx])
+
+    def _collate(self, samples: List, recs: List[PoseRecord]) -> dict:
+        crops = np.stack([s[0] for s in samples])
+        joints = np.stack([s[1] for s in samples])
+        vis = np.stack([s[2] for s in samples])
+        metas = [s[3] for s in samples]
+        n_valid = len(samples)
+
+        pad = (-n_valid) % self.pad_multiple if self.pad_multiple > 1 else 0
+        if pad:
+            sel = np.arange(pad) % n_valid
+            crops = np.concatenate([crops, crops[sel]])
+            joints = np.concatenate([joints, joints[sel]])
+            vis = np.concatenate([vis, vis[sel]])
+            metas = metas + [metas[i] for i in sel]
+
+        x, target, weight = _device_finalize(
+            jnp.asarray(crops), jnp.asarray(joints), jnp.asarray(vis))
+        batch = {
+            "image": x, "target": target, "target_weight": weight,
+            "joints": joints, "joints_vis": vis,
+            "center": np.stack([m["center"] for m in metas]),
+            "scale": np.stack([m["scale"] for m in metas]),
+            "score": np.array([m["score"] for m in metas], np.float32),
+            "image_id": np.array([m["image_id"] for m in metas], np.int64),
+            "perceptual_loss": np.array(
+                [m["perceptual_loss"] for m in metas], np.float32),
+            "n_valid": n_valid,
+        }
+        return batch
+
+
+class _FrozenAug:
+    """Pre-drawn augmentation params (thread-safe handoff into
+    process_sample)."""
+
+    def __init__(self, c, s, r, f):
+        self._vals = (c, s, r, f)
+
+    def sample(self, *args):
+        return self._vals

@@ -120,6 +120,33 @@ def transform_preds(coords, center, scale, output_size):
     return apply_affine(coords, mat)
 
 
+def get_affine_matrix_np(center, scale, rot_deg, output_size,
+                         shift=(0.0, 0.0), inv: bool = False) -> np.ndarray:
+    """Host-numpy mirror of :func:`get_affine_matrix` for per-sample host
+    pipelines (cv2.warpAffine consumption). Single sample, float64."""
+    center = np.asarray(center, np.float64)
+    scale = np.asarray(scale, np.float64)
+    shift = np.asarray(shift, np.float64)
+    rot_rad = float(rot_deg) * np.pi / 180.0
+    dst_w, dst_h = float(output_size[0]), float(output_size[1])
+    src_w = scale[0] * PIXEL_STD
+    scale_tmp = scale * PIXEL_STD
+    src_cx = center[0] + scale_tmp[0] * shift[0]
+    src_cy = center[1] + scale_tmp[1] * shift[1]
+    cs, sn = np.cos(rot_rad), np.sin(rot_rad)
+    if not inv:
+        lam = dst_w / src_w
+        a, b = lam * cs, -lam * sn
+        tx = dst_w * 0.5 - (a * src_cx - b * src_cy)
+        ty = dst_h * 0.5 - (b * src_cx + a * src_cy)
+    else:
+        lam = src_w / dst_w
+        a, b = lam * cs, lam * sn
+        tx = src_cx - (a * dst_w * 0.5 - b * dst_h * 0.5)
+        ty = src_cy - (b * dst_w * 0.5 + a * dst_h * 0.5)
+    return np.array([[a, -b, tx], [b, a, ty]], np.float64)
+
+
 def coords_to_center_scale(boxes, aspect_ratio, padding: float = 1.25,
                            pixel_std: float = PIXEL_STD):
     """Convert (..., 4) xyxy boxes to the (center, scale) crop convention.
