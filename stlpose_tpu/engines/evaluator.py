@@ -1,0 +1,148 @@
+"""
+HRNet COCO evaluation engine.
+
+Behavioral parity with the reference evaluator (reference: 03_evaluate.py):
+flip-TTA forward, loss + PCK per batch, decode to image coordinates,
+accumulate (preds, boxes, image ids), periodic + final submission-file write
+with rescoring + OKS-NMS, COCO keypoint AP restricted to evaluated images,
+stats JSON keyed by checkpoint.
+
+TPU-native loop: flip-TTA runs as a doubled batch in ONE forward, decode
+(argmax + sub-pixel + inverse affine) happens on device inside the same
+compiled program, and only final (N, 17, 3) keypoints come back to the host.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stlpose_tpu.config import CONFIG, get_hrnet_config
+from stlpose_tpu.data.loaders import load_dataset, build_pose_records
+from stlpose_tpu.eval.submission import generate_submission, compute_precision
+from stlpose_tpu.models import PoseHighResolutionNet
+from stlpose_tpu.parallel import get_mesh, shard_batch, make_eval_step
+from stlpose_tpu.parallel.steps import make_infer_fn
+from stlpose_tpu.train import create_train_state
+from stlpose_tpu.utils import (load_experiment_parameters, print_,
+                               save_evaluation_stats, reset_predictions_file)
+from stlpose_tpu.utils.checkpoint import (load_checkpoint,
+                                          load_pretrained_variables)
+
+
+class PoseEvaluator:
+    """Engine behind 03_evaluate.py."""
+
+    def __init__(self, exp_path: str, checkpoint=None, dataset_name=None,
+                 data_path=None, num_workers=None, flip: bool = True,
+                 save_results: bool = True):
+        self.exp_path = exp_path
+        self.exp_data = load_experiment_parameters(exp_path)
+        if dataset_name:
+            self.exp_data["dataset"]["dataset_name"] = dataset_name
+        self.checkpoint = checkpoint
+        self.data_path = data_path
+        self.num_workers = num_workers
+        self.flip = flip
+        self.save_results = save_results
+        self.preds_file = os.path.join(exp_path,
+                                       CONFIG["paths"]["submission"])
+
+    def setup_model_dataset(self, config_name: str = "w32_256x192",
+                            pretrained: str | None = "default"):
+        self.mesh = get_mesh()
+        n_dev = self.mesh.devices.size
+        _, self.valid_pipe = load_dataset(
+            self.exp_data, train=False, data_path=self.data_path,
+            num_workers=self.num_workers, pad_multiple=n_dev)
+        model = PoseHighResolutionNet(config=get_hrnet_config(config_name))
+        self.model = model
+        variables = None
+        if pretrained == "default":
+            pretrained = os.path.join(CONFIG["paths"]["pretrained_path"],
+                                      "HRnet", "pose_hrnet_w32_256x192.pth")
+        if pretrained:
+            variables = load_pretrained_variables(model, pretrained)
+        hw = get_hrnet_config(config_name).image_size
+        self.state, _ = create_train_state(
+            model, self.exp_data, jax.random.PRNGKey(CONFIG["random_seed"]),
+            (1, hw[1], hw[0], 3), variables=variables)
+        if self.checkpoint is not None:
+            self.state, _ = load_checkpoint(self.state, self.exp_path,
+                                            self.checkpoint, only_model=True)
+        self.eval_step = make_eval_step(self.model, self.mesh,
+                                        flip_tta=self.flip)
+        self.infer = make_infer_fn(self.model, self.mesh,
+                                   flip_tta=self.flip)
+
+    def evaluate_model(self, labels_file: str | None = None,
+                       write_every: int = 2000):
+        """Full evaluation pass; returns the 10-stat keypoint AP vector."""
+        exp = self.exp_data
+        data_path = self.data_path or CONFIG["paths"]["data_path"]
+        if labels_file is None:
+            labels_file = os.path.join(data_path, "annotations",
+                                       "person_keypoints_val.json")
+        reset_predictions_file(self.exp_path)
+
+        losses, hits, cnts = [], 0.0, 0.0
+        all_preds, all_boxes, image_ids = [], [], []
+        since_write = 0
+        for batch in self.valid_pipe:
+            dev = shard_batch(self.mesh, {
+                "image": batch["image"], "target": batch["target"],
+                "target_weight": batch["target_weight"]})
+            # loss + PCK on the eval step; decode via the fused infer fn
+            _, metrics = self.eval_step(self.state, dev)
+            preds, _ = self.infer(self.state,
+                                  shard_batch(self.mesh, batch["image"]),
+                                  shard_batch(self.mesh,
+                                              jnp.asarray(batch["center"])),
+                                  shard_batch(self.mesh,
+                                              jnp.asarray(batch["scale"])))
+            losses.append(float(metrics["loss"]))
+            hits += float(metrics["pck_hit"])
+            cnts += float(metrics["pck_cnt"])
+
+            n = batch["n_valid"]
+            preds = np.asarray(preds)[:n]
+            center, scale = batch["center"][:n], batch["scale"][:n]
+            area = np.prod(scale * 200.0, axis=1)
+            boxes = np.concatenate(
+                [center, scale, area[:, None],
+                 batch["score"][:n, None]], axis=1)
+            all_preds.append(preds)
+            all_boxes.append(boxes)
+            image_ids.extend(batch["image_id"][:n].tolist())
+            since_write += n
+            if since_write >= write_every:
+                self._flush(all_preds, all_boxes, image_ids)
+                all_preds, all_boxes, image_ids = [], [], []
+                since_write = 0
+
+        if image_ids:
+            self._flush(all_preds, all_boxes, image_ids)
+
+        self.valid_loss = float(np.mean(losses)) if losses else 0.0
+        self.valid_acc = hits / cnts if cnts else 0.0
+        print_(f"Eval Loss: {self.valid_loss}  PCK: {self.valid_acc}")
+
+        stats = compute_precision(self.preds_file, labels_file)
+        if self.save_results:
+            save_evaluation_stats(
+                self.exp_path, stats,
+                dataset_name=exp["dataset"]["dataset_name"],
+                checkpoint=str(self.checkpoint),
+                alpha=exp["dataset"].get("alpha"),
+                styles=exp["dataset"].get("styles"))
+        return stats
+
+    def _flush(self, all_preds, all_boxes, image_ids):
+        ev = self.exp_data["evaluation"]
+        generate_submission(
+            np.concatenate(all_preds), np.concatenate(all_boxes), image_ids,
+            self.preds_file, in_vis_thr=ev.get("in_vis_thr", 0.2),
+            oks_thr=ev.get("oks_thr", 0.9))

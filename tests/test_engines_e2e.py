@@ -1,0 +1,97 @@
+"""End-to-end slice: 01 create experiment -> 02 train (tiny HRNet, synthetic
+COCO) -> 03 evaluate with submission + COCO keypoint AP (SURVEY.md §7 build
+step 4/5)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from stlpose_tpu.config import CONFIG
+from stlpose_tpu.engines import PoseTrainer, PoseEvaluator
+from stlpose_tpu.utils.experiment import create_experiment
+from tests.fixtures import make_coco_dataset
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ws")
+    data = root / "data"
+    make_coco_dataset(str(data), n_train=6, n_val=4)
+    exp_path = create_experiment(
+        "e2e", {"batch_size": 4, "num_epochs": 2, "save_frequency": 1,
+                "scale_factor": 0.25, "rot_factor": 15, "flip": True},
+        root=str(root / "experiments"))
+    return str(data), exp_path
+
+
+class TestTrainEval:
+    def test_trainer_two_epochs(self, workspace):
+        data, exp_path = workspace
+        tr = PoseTrainer(exp_path, data_path=data, num_workers=2,
+                         make_plots=False)
+        tr.load_dataset()
+        tr.setup_model(config_name="tiny", pretrained=None)
+        tr.training_loop()
+
+        logs = json.load(open(os.path.join(exp_path, "training_logs.json")))
+        assert len(logs["loss"]["training"]) == 2
+        assert all(np.isfinite(v) for v in logs["loss"]["training"])
+        # checkpoints for epoch 0, 1 and final
+        models = os.listdir(os.path.join(exp_path, "models"))
+        assert any("epoch_0" in m for m in models)
+        assert any("final" in m for m in models)
+
+    def test_evaluator_full_pass(self, workspace):
+        data, exp_path = workspace
+        ev = PoseEvaluator(exp_path, checkpoint="final", data_path=data,
+                           num_workers=2, flip=True)
+        ev.setup_model_dataset(config_name="tiny", pretrained=None)
+        stats = ev.evaluate_model()
+        assert stats.shape == (10,)
+        # untrained tiny net: AP in [ -1 (undefined) .. 1 ]
+        assert -1 <= stats[0] <= 1
+        # submission file exists and is valid COCO results
+        preds = json.load(open(ev.preds_file))
+        assert len(preds) > 0
+        assert all(len(p["keypoints"]) == 51 for p in preds)
+        # stats JSON keyed by checkpoint
+        stats_files = [f for f in os.listdir(exp_path)
+                       if f.startswith("evaluation_stats")]
+        assert stats_files
+        blob = json.load(open(os.path.join(exp_path, stats_files[0])))
+        assert "final" in blob
+
+    def test_resume_from_checkpoint(self, workspace):
+        data, exp_path = workspace
+        tr = PoseTrainer(exp_path, checkpoint="1", resume_training=True,
+                         data_path=data, num_workers=2, make_plots=False)
+        tr.load_dataset()
+        tr.setup_model(config_name="tiny", pretrained=None)
+        assert tr.cur_epoch == 1
+        assert int(tr.state.step) > 0
+
+
+class TestCreateExperimentCLI:
+    def test_script_creates_contract(self, tmp_path):
+        env = dict(os.environ, STLPOSE_EXPERIMENTS_PATH=str(tmp_path),
+                   PALLAS_AXON_POOL_IPS="")
+        out = subprocess.run(
+            [sys.executable, "scripts/01_create_experiment.py",
+             "-d", "cli_test", "--batch_size", "16",
+             "--dataset_name", "styled_coco"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert out.returncode == 0, out.stderr
+        exp_path = out.stdout.strip().splitlines()[-1]
+        params = json.load(open(os.path.join(exp_path,
+                                             "experiment_parameters.json")))
+        assert params["training"]["batch_size"] == 16
+        assert params["dataset"]["dataset_name"] == "styled_coco"
+        assert params["training"]["num_epochs"] == 100      # default kept
+        assert os.path.isdir(os.path.join(exp_path, "models"))
+        assert os.path.isdir(os.path.join(exp_path, "plots"))
+        assert os.path.exists(os.path.join(exp_path, "logs.txt"))
