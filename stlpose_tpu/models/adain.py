@@ -1,0 +1,145 @@
+"""
+AdaIN style-transfer stylizer as an inline XLA stage.
+
+The reference consumes Styled-COCO images pre-stylized OFFLINE (its
+stylization pipeline lives outside the repo; the datasets just read
+``images_style_{s}_alpha_{a}`` directories, reference:
+data/data_loaders.py:84-100). The BASELINE north star upgrades this to an
+inline batched VGG encoder/decoder stylizer running on TPU inside the input
+pipeline (BASELINE.json), which is what this module provides:
+
+    t = AdaIN(enc(content), enc(style))
+    out = dec(alpha * t + (1 - alpha) * enc(content))
+
+Encoder: VGG16 trunk to relu3_3 shared with models/vgg.py (pretrained
+weights convertible from torchvision); decoder: mirrored convs with
+nearest-neighbor upsampling, trained with the standard AdaIN
+content+style losses (train_adain_decoder below) or loaded from a
+checkpoint. Everything is NHWC, static-shape, one jit program per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from stlpose_tpu.models.vgg import VGG16Features, IMAGENET_MEAN, IMAGENET_STD
+
+
+def adain(content_feat, style_feat, eps: float = 1e-5):
+    """Adaptive instance normalization over spatial dims (NHWC)."""
+    c_mean = content_feat.mean(axis=(1, 2), keepdims=True)
+    c_std = jnp.sqrt(content_feat.var(axis=(1, 2), keepdims=True) + eps)
+    s_mean = style_feat.mean(axis=(1, 2), keepdims=True)
+    s_std = jnp.sqrt(style_feat.var(axis=(1, 2), keepdims=True) + eps)
+    return s_std * (content_feat - c_mean) / c_std + s_mean
+
+
+class AdaINDecoder(nn.Module):
+    """Mirror of the VGG trunk up to relu3_3: 256 -> 128 -> 64 -> 3 with
+    nearest 2x upsampling between blocks."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def up(x):
+            n, h, w, c = x.shape
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (n, h, 2, w, 2, c))
+            return x.reshape(n, h * 2, w * 2, c)
+
+        conv = lambda f, name: nn.Conv(f, (3, 3), padding=[(1, 1), (1, 1)],
+                                       dtype=self.dtype, name=name)
+        x = nn.relu(conv(256, "dec0")(x))
+        x = nn.relu(conv(128, "dec1")(up(x)))
+        x = nn.relu(conv(128, "dec2")(x))
+        x = nn.relu(conv(64, "dec3")(up(x)))
+        x = nn.relu(conv(64, "dec4")(x))
+        x = conv(3, "dec5")(x)
+        return x
+
+
+class AdaINStylizer:
+    """Batched stylization callable.
+
+    Args:
+      enc_variables / dec_variables: params for the shared VGG16 encoder
+        (taps up to relu3_3) and the decoder.
+    """
+
+    # relu1_2, relu2_2, relu3_3 — last is the AdaIN feature; all three feed
+    # the style loss during decoder training
+    ENC_TAPS = (1, 3, 6)
+
+    def __init__(self, enc_variables=None, dec_variables=None, rng=None):
+        self.encoder = VGG16Features(taps=self.ENC_TAPS)
+        self.decoder = AdaINDecoder()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        if enc_variables is None:
+            enc_variables = self.encoder.init(rng, dummy)
+        if dec_variables is None:
+            feat = self.encoder.apply(enc_variables, dummy)[-1]
+            dec_variables = self.decoder.init(rng, feat)
+        self.enc_variables = enc_variables
+        self.dec_variables = dec_variables
+        self._stylize = jax.jit(self._stylize_impl)
+
+    def _stylize_impl(self, enc_v, dec_v, content, style, alpha):
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+        cn = (content - mean) / std
+        sn = (style - mean) / std
+        c_feat = self.encoder.apply(enc_v, cn)[-1]
+        s_feat = self.encoder.apply(enc_v, sn)[-1]
+        t = adain(c_feat, s_feat)
+        alpha = jnp.asarray(alpha, jnp.float32).reshape(-1, 1, 1, 1)
+        t = alpha * t + (1.0 - alpha) * c_feat
+        out = self.decoder.apply(dec_v, t)
+        return jnp.clip(out * std + mean, 0.0, 1.0)
+
+    def __call__(self, content, style, alpha=1.0):
+        """Stylize a batch.
+
+        Args:
+          content: (N, H, W, 3) in [0, 1]; style: (N or 1, H, W, 3);
+          alpha: scalar or (N,) stylization strength (the reference's
+            alpha in styled-COCO directory names).
+        """
+        content = jnp.asarray(content, jnp.float32)
+        style = jnp.asarray(style, jnp.float32)
+        if style.shape[0] == 1 and content.shape[0] > 1:
+            style = jnp.broadcast_to(style, content.shape)
+        alpha = jnp.broadcast_to(jnp.asarray(alpha, jnp.float32),
+                                 (content.shape[0],))
+        return self._stylize(self.enc_variables, self.dec_variables,
+                             content, style, alpha)
+
+
+def adain_train_losses(encoder, enc_variables, decoder, dec_params,
+                       content, style, style_weight: float = 10.0):
+    """Standard AdaIN training objective for the decoder: content loss on
+    relu3_3 + style loss (mean/std match) over encoder taps. Returns
+    (total, content_loss, style_loss)."""
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    cn = (content - mean) / std
+    sn = (style - mean) / std
+    c_feat = encoder.apply(enc_variables, cn)[-1]
+    s_feats = encoder.apply(enc_variables, sn)
+    t = adain(c_feat, s_feats[-1])
+    out = decoder.apply({"params": dec_params}, t)
+    o_feats = encoder.apply(enc_variables, out)
+
+    content_loss = jnp.mean((o_feats[-1] - t) ** 2)
+    style_loss = 0.0
+    for of, sf in zip(o_feats, s_feats):
+        style_loss += jnp.mean((of.mean(axis=(1, 2)) -
+                                sf.mean(axis=(1, 2))) ** 2)
+        style_loss += jnp.mean((of.std(axis=(1, 2)) -
+                                sf.std(axis=(1, 2))) ** 2)
+    total = content_loss + style_weight * style_loss
+    return total, content_loss, style_loss
