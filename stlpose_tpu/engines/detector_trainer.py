@@ -1,0 +1,270 @@
+"""
+Person-detector training and evaluation engines.
+
+Behavioral parity with the reference's detector engines (reference:
+02_train_faster_rcnn.py, 03_evaluate_faster_rcnn.py): loss = summed
+torchvision-style loss dict with optional perceptual weighting and a
+non-finite guard, validation = COCO bbox AP over the val loader with a
+plateau-on-AP (mode max) scheduler, detector_logs.json +
+detector checkpoints under models/detector/.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from stlpose_tpu.config import CONFIG
+from stlpose_tpu.data.loaders import get_detection_dataset
+from stlpose_tpu.models.faster_rcnn import (FasterRCNN, FasterRCNNConfig,
+                                            FASTER_RCNN_TINY)
+from stlpose_tpu.parallel import get_mesh, shard_batch
+from stlpose_tpu.parallel.detector_steps import (make_detector_train_step,
+                                                 make_detector_predict)
+from stlpose_tpu.train import create_train_state, load_perceptual_loss_dict
+from stlpose_tpu.train.optim import (build_scheduler, get_current_lr,
+                                     set_current_lr)
+from stlpose_tpu.eval.submission import compute_detection_ap
+from stlpose_tpu.data.coco_api import coco_from_dataset
+from stlpose_tpu.utils import (load_experiment_parameters,
+                               create_detector_logs, print_)
+from stlpose_tpu.utils.experiment import (load_detector_logs,
+                                          update_detector_logs,
+                                          save_evaluation_stats)
+from stlpose_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+DETECTOR_CONFIGS = {
+    "faster_rcnn": FasterRCNNConfig(),
+    "faster_rcnn_tiny": FASTER_RCNN_TINY,
+}
+
+
+def build_detector(exp_data: dict, config_name: str | None = None):
+    name = config_name or exp_data["model"].get("detector_name",
+                                                "faster_rcnn")
+    if name not in DETECTOR_CONFIGS:
+        raise ValueError(f"Detector '{name}' not supported; "
+                         f"available: {list(DETECTOR_CONFIGS)}")
+    cfg = DETECTOR_CONFIGS[name]
+    return FasterRCNN(cfg), cfg
+
+
+class _DetectorModelShim:
+    """Adapts FasterRCNN.init to the create_train_state model protocol."""
+
+    def __init__(self, detector):
+        self.detector = detector
+
+    def init(self, rng, x, train=False):
+        return self.detector.init(rng, batch_size=1)
+
+
+class DetectorTrainer:
+    """Engine behind 02_train_faster_rcnn.py."""
+
+    def __init__(self, exp_path: str, checkpoint=None,
+                 resume_training: bool = False, dataset_name=None,
+                 data_path=None, num_workers=None,
+                 use_perceptual_loss: bool = False,
+                 detector_config: str | None = None):
+        self.exp_path = exp_path
+        self.exp_data = load_experiment_parameters(exp_path)
+        if dataset_name:
+            self.exp_data["dataset"]["dataset_name"] = dataset_name
+        self.checkpoint = checkpoint
+        self.resume_training = resume_training
+        self.data_path = data_path
+        self.num_workers = num_workers
+        self.use_perceptual_loss = use_perceptual_loss
+        self.detector_config = detector_config
+        self.cur_epoch = 0
+
+    def load_dataset(self):
+        ploss = None
+        try:
+            ploss = load_perceptual_loss_dict(
+                self.exp_data, CONFIG["paths"]["dict_path"],
+                self.use_perceptual_loss)
+        except FileNotFoundError as e:
+            print_(str(e), type="warning")
+        self.mesh = get_mesh()
+        n_dev = self.mesh.devices.size
+        self.detector, self.det_cfg = build_detector(self.exp_data,
+                                                     self.detector_config)
+        exp = dict(self.exp_data)
+        exp["dataset"] = {**exp["dataset"],
+                          "image_size": self.det_cfg.image_size}
+        self.train_pipe = get_detection_dataset(
+            exp, "train", shuffle=exp["dataset"].get("shuffle_train", False),
+            num_workers=self.num_workers, pad_multiple=n_dev,
+            data_path=self.data_path, perceptual_loss_dict=ploss)
+        self.valid_pipe = get_detection_dataset(
+            exp, "valid", num_workers=self.num_workers,
+            pad_multiple=n_dev, data_path=self.data_path)
+
+    def setup_model(self):
+        shim = _DetectorModelShim(self.detector)
+        self.state, self.tx = create_train_state(
+            shim, self.exp_data, jax.random.PRNGKey(CONFIG["random_seed"]),
+            (1,))
+        self.scheduler = build_scheduler(self.exp_data)
+        if self.checkpoint is not None:
+            self.state, epoch = load_checkpoint(
+                self.state, self.exp_path, self.checkpoint,
+                scheduler=self.scheduler if self.resume_training else None,
+                detector=True, only_model=not self.resume_training)
+            if self.resume_training:
+                self.cur_epoch = epoch
+
+        perceptual_cfg = None
+        if (self.exp_data["dataset"]["dataset_name"] == "styled_coco"
+                and (self.use_perceptual_loss
+                     or self.exp_data["training"].get("perceptual_loss"))):
+            cfg = dict(self.exp_data)
+            cfg["training"] = {**cfg["training"], "perceptual_loss": True}
+            perceptual_cfg = cfg
+        self.train_step = make_detector_train_step(
+            self.detector, self.tx, self.mesh, perceptual_cfg=perceptual_cfg)
+        self.predict = make_detector_predict(self.detector, self.mesh)
+        self._rng = jax.random.PRNGKey(CONFIG["random_seed"] + 1)
+
+    # ------------------------------------------------------------- epochs
+    def train_epoch(self, epoch: int) -> float:
+        losses = []
+        for batch in self.train_pipe:
+            self._rng, step_rng = jax.random.split(self._rng)
+            dev = shard_batch(self.mesh, {
+                "image": batch["image"], "boxes": batch["boxes"],
+                "labels": batch["labels"], "box_mask": batch["box_mask"],
+                "perceptual_loss": batch["perceptual_loss"]})
+            self.state, metrics = self.train_step(self.state, dev, step_rng)
+            losses.append(metrics["loss"])
+        vals = [float(l) for l in losses]
+        finite = [v for v in vals if np.isfinite(v)]
+        loss = float(np.mean(finite)) if finite else float("nan")
+        print_(f"Detector train loss: {loss}")
+        return loss
+
+    def validation_epoch(self, epoch: int, limit: int | None = None) -> float:
+        """COCO bbox AP over the val pipeline (the reference's
+        CocoEvaluator-based validation, 02_train_faster_rcnn.py:241-280)."""
+        ap = evaluate_detector(self.detector, self.state, self.predict,
+                               self.valid_pipe, self.mesh, limit=limit)
+        print_(f"Detector valid AP: {ap[0]:.4f}")
+        return float(ap[0])
+
+    def training_loop(self):
+        exp = self.exp_data
+        num_epochs = exp["training"]["num_epochs"]
+        save_freq = exp["training"]["save_frequency"]
+        if self.checkpoint is None or not self.resume_training:
+            self.logs = create_detector_logs(self.exp_path)
+        else:
+            self.logs = load_detector_logs(self.exp_path)
+
+        for epoch in range(self.cur_epoch, num_epochs):
+            valid_ap = self.validation_epoch(epoch)
+            train_loss = self.train_epoch(epoch)
+            if self.scheduler is not None:
+                lr = get_current_lr(self.state.opt_state)
+                new_lr = self.scheduler.step(valid_ap, lr)  # mode max on AP
+                if new_lr != lr:
+                    self.state = self.state.replace(
+                        opt_state=set_current_lr(self.state.opt_state,
+                                                 new_lr))
+            update_detector_logs(self.exp_path, self.logs, train_loss,
+                                 valid_ap)
+            if epoch % save_freq == 0:
+                save_checkpoint(self.state, self.exp_path, epoch,
+                                scheduler=self.scheduler, detector=True)
+        save_checkpoint(self.state, self.exp_path, num_epochs,
+                        scheduler=self.scheduler, detector=True,
+                        finished=True)
+
+
+def evaluate_detector(detector, state, predict, pipe, mesh,
+                      limit: int | None = None, score_thr: float = 0.0):
+    """Run detection over a pipeline and compute COCO bbox AP against the
+    pipeline's own GT (built in memory, the reference's
+    get_coco_api_from_dataset path)."""
+    gt_samples, results = [], []
+    for bi, batch in enumerate(pipe):
+        if limit is not None and bi >= limit:
+            break
+        dets = predict(state, shard_batch(mesh, batch["image"]))
+        dets = {k: np.asarray(v) for k, v in dets.items()}
+        n = batch["n_valid"]
+        for i in range(n):
+            img_id = int(batch["image_id"][i])
+            scale = float(batch["scale"][i])
+            m = batch["box_mask"][i].astype(bool)
+            gt_samples.append({
+                "image_id": img_id,
+                "boxes": batch["boxes"][i][m] / scale,
+                "labels": batch["labels"][i][m].tolist(),
+            })
+            valid = dets["valid"][i] & (dets["scores"][i] > score_thr)
+            for j in np.nonzero(valid)[0]:
+                x1, y1, x2, y2 = dets["boxes"][i, j] / scale
+                results.append({
+                    "image_id": img_id,
+                    "category_id": int(dets["labels"][i, j]),
+                    "bbox": [float(x1), float(y1), float(x2 - x1),
+                             float(y2 - y1)],
+                    "score": float(dets["scores"][i, j]),
+                })
+    if not results:
+        return np.full(12, -1.0)
+    gt = coco_from_dataset(gt_samples,
+                           categories=[{"id": 1, "name": "person"}])
+    return compute_detection_ap(results, gt)
+
+
+class DetectorEvaluator:
+    """Engine behind 03_evaluate_faster_rcnn.py."""
+
+    def __init__(self, exp_path: str, checkpoint=None, dataset_name=None,
+                 data_path=None, num_workers=None,
+                 detector_config: str | None = None):
+        self.exp_path = exp_path
+        self.exp_data = load_experiment_parameters(exp_path)
+        if dataset_name:
+            self.exp_data["dataset"]["dataset_name"] = dataset_name
+        self.checkpoint = checkpoint
+        self.data_path = data_path
+        self.num_workers = num_workers
+        self.detector_config = detector_config
+
+    def setup(self):
+        self.mesh = get_mesh()
+        self.detector, self.det_cfg = build_detector(self.exp_data,
+                                                     self.detector_config)
+        exp = dict(self.exp_data)
+        exp["dataset"] = {**exp["dataset"],
+                          "image_size": self.det_cfg.image_size}
+        self.pipe = get_detection_dataset(
+            exp, "valid", num_workers=self.num_workers,
+            pad_multiple=self.mesh.devices.size, data_path=self.data_path)
+        shim = _DetectorModelShim(self.detector)
+        self.state, _ = create_train_state(
+            shim, self.exp_data, jax.random.PRNGKey(CONFIG["random_seed"]),
+            (1,))
+        if self.checkpoint is not None:
+            self.state, _ = load_checkpoint(self.state, self.exp_path,
+                                            self.checkpoint, detector=True,
+                                            only_model=True)
+        self.predict = make_detector_predict(self.detector, self.mesh)
+
+    def evaluate(self, save_stats: bool = True):
+        stats = evaluate_detector(self.detector, self.state, self.predict,
+                                  self.pipe, self.mesh)
+        if save_stats:
+            save_evaluation_stats(
+                self.exp_path, stats, detector=True,
+                dataset_name=self.exp_data["dataset"]["dataset_name"],
+                checkpoint=str(self.checkpoint),
+                alpha=self.exp_data["dataset"].get("alpha"),
+                styles=self.exp_data["dataset"].get("styles"))
+        return stats

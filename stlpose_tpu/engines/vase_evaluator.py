@@ -1,0 +1,173 @@
+"""
+Two-stage detect->pose qualitative evaluation engine.
+
+Behavioral parity with the reference's VaseEvaluator
+(reference: 04_evaluate_vases_qualitatively.py:76-263): person detector ->
+score filtering -> per-detection 192x256 affine crops -> HRNet -> per-crop
+and full-image keypoint decode -> rendered detections/instances/poses.
+
+TPU-native pipeline: the detector batch, the crop warps
+(ops.warp.crop_from_center_scale), the HRNet flip-TTA forward, and the
+decode all run on device; only rendering is host matplotlib. This is the
+BASELINE "two-stage" configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stlpose_tpu.config import CONFIG, get_hrnet_config
+from stlpose_tpu.data.loaders import get_vase_subset
+from stlpose_tpu.engines.detector_trainer import build_detector
+from stlpose_tpu.models import PoseHighResolutionNet
+from stlpose_tpu.ops.affine import coords_to_center_scale
+from stlpose_tpu.ops.bbox_utils import bbox_filtering
+from stlpose_tpu.ops.decode import decode_heatmaps, heatmap_argmax
+from stlpose_tpu.ops.warp import crop_from_center_scale
+from stlpose_tpu.parallel import get_mesh
+from stlpose_tpu.parallel.detector_steps import make_detector_predict
+from stlpose_tpu.parallel.steps import make_infer_fn
+from stlpose_tpu.train import create_train_state
+from stlpose_tpu.utils import load_experiment_parameters, print_
+from stlpose_tpu.utils.checkpoint import (load_checkpoint,
+                                          load_pretrained_variables)
+from stlpose_tpu.utils.visualization import draw_pose, visualize_bbox
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class VaseEvaluator:
+    """Engine behind 04_evaluate_vases_qualitatively.py."""
+
+    def __init__(self, exp_path: str, checkpoint=None,
+                 detector_checkpoint=None, dataset_name: str = "red_black",
+                 data_path=None, bbox_thr: float = 0.5,
+                 kpt_thr: float = 0.1, max_dets: int = 8,
+                 detector_config=None, save: bool = True):
+        self.exp_path = exp_path
+        self.exp_data = load_experiment_parameters(exp_path)
+        self.checkpoint = checkpoint
+        self.detector_checkpoint = detector_checkpoint
+        self.dataset_name = dataset_name
+        self.data_path = data_path
+        self.bbox_thr = bbox_thr
+        self.kpt_thr = kpt_thr
+        self.max_dets = max_dets
+        self.detector_config = detector_config
+        self.save = save
+        self.plots_path = os.path.join(exp_path, "plots",
+                                       f"vases_{dataset_name}")
+
+    def load_vase_subset(self, batch_size: int = 1):
+        self.detector, self.det_cfg = build_detector(self.exp_data,
+                                                     self.detector_config)
+        self.pipe = get_vase_subset(
+            img_size=self.det_cfg.image_size,
+            dataset_name=self.dataset_name, data_path=self.data_path,
+            batch_size=batch_size)
+
+    def setup_models(self, config_name: str = "w32_256x192",
+                     pretrained=None):
+        self.mesh = get_mesh()
+        shim_rng = jax.random.PRNGKey(CONFIG["random_seed"])
+        # detector
+        from stlpose_tpu.engines.detector_trainer import _DetectorModelShim
+        self.det_state, _ = create_train_state(
+            _DetectorModelShim(self.detector), self.exp_data, shim_rng, (1,))
+        if self.detector_checkpoint is not None:
+            self.det_state, _ = load_checkpoint(
+                self.det_state, self.exp_path, self.detector_checkpoint,
+                detector=True, only_model=True)
+        self.det_predict = make_detector_predict(self.detector, self.mesh)
+        # pose model
+        model = PoseHighResolutionNet(config=get_hrnet_config(config_name))
+        self.pose_model = model
+        variables = load_pretrained_variables(model, pretrained) \
+            if pretrained else None
+        hw = get_hrnet_config(config_name).image_size
+        self.pose_state, _ = create_train_state(
+            model, self.exp_data, shim_rng, (1, hw[1], hw[0], 3),
+            variables=variables)
+        if self.checkpoint is not None:
+            self.pose_state, _ = load_checkpoint(
+                self.pose_state, self.exp_path, self.checkpoint,
+                only_model=True)
+        self.pose_infer = make_infer_fn(self.pose_model, self.mesh,
+                                        flip_tta=False, decode=False)
+
+    def process_image(self, image01):
+        """Full two-stage pass on ONE (S, S, 3) [0,1] image.
+
+        Returns dict: boxes/scores after filtering, per-crop keypoints
+        (crop space, K x J x 3) and full-image keypoints (image space).
+        """
+        dets = self.det_predict(self.det_state,
+                                jnp.asarray(image01[None]))
+        dets = {k: np.asarray(v) for k, v in dets.items()}
+        boxes, labels, scores = bbox_filtering(
+            {k: v[0] for k, v in dets.items()}, thr=self.bbox_thr)
+        order = np.argsort(-scores)[:self.max_dets]
+        boxes, scores = boxes[order], scores[order]
+        if len(boxes) == 0:
+            return {"boxes": boxes, "scores": scores,
+                    "crop_keypoints": np.zeros((0, 17, 3)),
+                    "image_keypoints": np.zeros((0, 17, 3))}
+
+        # fixed-size crop batch (pad to max_dets so the pose program
+        # compiles once)
+        K = len(boxes)
+        pad_boxes = np.concatenate(
+            [boxes, np.tile(boxes[-1:], (self.max_dets - K, 1))])
+        centers, scales = coords_to_center_scale(
+            jnp.asarray(pad_boxes, jnp.float32), 192.0 / 256.0)
+        crops = crop_from_center_scale(
+            jnp.asarray(image01 * 255.0, jnp.float32), centers, scales,
+            (192, 256))
+        crops = (crops / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        hm = np.asarray(self.pose_infer(self.pose_state, crops))
+
+        # per-crop decode at 256x192 (reference: 04_...py:217-228)
+        coords, maxvals = heatmap_argmax(jnp.asarray(hm))
+        coords, maxvals = np.array(coords), np.array(maxvals)
+        Hh, Hw = hm.shape[2], hm.shape[3]
+        coords[..., 0] *= (192.0 - 1) / (Hw - 1)
+        coords[..., 1] *= (256.0 - 1) / (Hh - 1)
+        crop_kpts = np.concatenate(
+            [coords, maxvals[..., None]], axis=-1)[:K]
+        # full-image decode via inverse crop transform (04_...py:244-252)
+        preds, mv, _ = decode_heatmaps(jnp.asarray(hm), centers, scales)
+        img_kpts = np.concatenate(
+            [np.asarray(preds), np.asarray(mv)[..., None]], axis=-1)[:K]
+        # zero out sub-threshold keypoints for rendering parity
+        for arr in (crop_kpts, img_kpts):
+            arr[arr[..., 2] < self.kpt_thr] = 0
+        return {"boxes": boxes, "scores": scores,
+                "crop_keypoints": crop_kpts, "image_keypoints": img_kpts}
+
+    def qualitative_comparison(self, limit: int | None = None):
+        os.makedirs(self.plots_path, exist_ok=True)
+        n_done = 0
+        for batch in self.pipe:
+            for i in range(batch["n_valid"]):
+                if limit is not None and n_done >= limit:
+                    return n_done
+                img = np.asarray(batch["image"][i])
+                res = self.process_image(img)
+                if self.save:
+                    name = f"img_{int(batch['image_id'][i]):04d}"
+                    visualize_bbox(
+                        img, res["boxes"], res["scores"],
+                        savepath=os.path.join(self.plots_path,
+                                              f"{name}_dets.png"))
+                    draw_pose(
+                        img, res["image_keypoints"],
+                        kpt_thr=self.kpt_thr,
+                        savepath=os.path.join(self.plots_path,
+                                              f"{name}_poses.png"))
+                n_done += 1
+        return n_done
