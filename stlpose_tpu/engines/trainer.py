@@ -138,10 +138,14 @@ class PoseTrainer:
         return loss, acc
 
     def _run_train_epoch(self, epoch: int) -> tuple[float, float]:
+        from stlpose_tpu.utils.profiling import StepTimer, save_timing
+
         losses, hits, cnts = [], 0.0, 0.0
+        timer = StepTimer()
         for batch in self.train_pipe:
             dev = shard_batch(self.mesh, self._step_view(batch))
             self.state, metrics = self.train_step(self.state, dev)
+            timer.tick(batch["image"].shape[0])
             losses.append(metrics["loss"])    # device scalars; fetch lazily
             hits += float(metrics["pck_hit"])
             cnts += float(metrics["pck_cnt"])
@@ -155,7 +159,9 @@ class PoseTrainer:
                                        global_step=self.iterations)
         loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         acc = hits / cnts if cnts else 0.0
-        print_(f"Train Loss: {loss}")
+        save_timing(self.exp_path, "train_epoch", timer.stats())
+        print_(f"Train Loss: {loss}  "
+               f"({timer.stats()['examples_per_sec']} ex/s)")
         print_(f"Train Accuracy: {acc}")
         return loss, acc
 
@@ -176,9 +182,16 @@ class PoseTrainer:
         else:
             self.logs = load_train_logs(self.exp_path)
 
+        profile_dir = os.environ.get("STLPOSE_PROFILE")
         for epoch in range(self.cur_epoch, num_epochs):
             valid_loss, valid_acc = self._run_valid_epoch(epoch)
-            train_loss, train_acc = self._run_train_epoch(epoch)
+            if profile_dir and epoch == self.cur_epoch:
+                # capture a jax.profiler trace of the first train epoch
+                from stlpose_tpu.utils.profiling import trace
+                with trace(profile_dir):
+                    train_loss, train_acc = self._run_train_epoch(epoch)
+            else:
+                train_loss, train_acc = self._run_train_epoch(epoch)
 
             if self.scheduler is not None:
                 lr = get_current_lr(self.state.opt_state)
