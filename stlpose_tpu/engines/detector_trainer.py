@@ -35,20 +35,41 @@ from stlpose_tpu.utils.experiment import (load_detector_logs,
                                           save_evaluation_stats)
 from stlpose_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
 
+def _efficientdet_factory(cfg_name):
+    def make():
+        from stlpose_tpu.models.efficientdet import (
+            EfficientDet, EFFICIENTDET_D0, EFFICIENTDET_D3,
+            EFFICIENTDET_TINY)
+        cfg = {"d0": EFFICIENTDET_D0, "d3": EFFICIENTDET_D3,
+               "tiny": EFFICIENTDET_TINY}[cfg_name]
+        return EfficientDet(cfg), cfg
+    return make
+
+
 DETECTOR_CONFIGS = {
-    "faster_rcnn": FasterRCNNConfig(),
-    "faster_rcnn_tiny": FASTER_RCNN_TINY,
+    # the reference's detector vocabulary: faster_rcnn default,
+    # efficientdet d0/d3 via detector_type (lib/model_setup.py:50-95)
+    "faster_rcnn": lambda: (FasterRCNN(FasterRCNNConfig()),
+                            FasterRCNNConfig()),
+    "faster_rcnn_tiny": lambda: (FasterRCNN(FASTER_RCNN_TINY),
+                                 FASTER_RCNN_TINY),
+    "efficientdet": _efficientdet_factory("d0"),
+    "efficientdet_d0": _efficientdet_factory("d0"),
+    "efficientdet_d3": _efficientdet_factory("d3"),
+    "efficientdet_tiny": _efficientdet_factory("tiny"),
 }
 
 
 def build_detector(exp_data: dict, config_name: str | None = None):
     name = config_name or exp_data["model"].get("detector_name",
                                                 "faster_rcnn")
+    det_type = exp_data["model"].get("detector_type", "")
+    if name == "efficientdet" and det_type in ("d0", "d3"):
+        name = f"efficientdet_{det_type}"
     if name not in DETECTOR_CONFIGS:
         raise ValueError(f"Detector '{name}' not supported; "
                          f"available: {list(DETECTOR_CONFIGS)}")
-    cfg = DETECTOR_CONFIGS[name]
-    return FasterRCNN(cfg), cfg
+    return DETECTOR_CONFIGS[name]()
 
 
 class _DetectorModelShim:
