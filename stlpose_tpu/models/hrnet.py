@@ -223,3 +223,37 @@ class PoseHighResolutionNet(nn.Module):
 def create_hrnet(config_name: str = "w32_256x192", dtype=jnp.float32):
     return PoseHighResolutionNet(config=get_hrnet_config(config_name),
                                  dtype=dtype)
+
+
+def fold_input_normalization(variables, mean, std):
+    """Fold per-channel input normalization ``(x - mean) / std`` into the
+    stem convolution + its BatchNorm, so inference can feed raw images.
+
+    With W the stem kernel (HWIO) and BN statistics (mu, var):
+      conv(W, (x - m)/s) = conv(W/s, x) - sum_hwi W[h,w,i,o] * m_i/s_i
+    so we scale the kernel by 1/s per input channel and shift the BN
+    running mean by the constant term. Production-inference utility; saves
+    a full elementwise pass over the (N, 256, 192, 3) input.
+
+    Caveat: with zero padding the constant term is smaller on the 1-pixel
+    stem border (fewer taps), so folded inference deviates slightly at crop
+    edges; use the explicit normalize path when bit-level parity with the
+    reference matters.
+    """
+    import numpy as np
+
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+    W = np.asarray(params["stem1"]["conv"]["kernel"])    # (3, 3, 3, C)
+    W_scaled = W / std[None, None, :, None]
+    shift = (W * (mean / std)[None, None, :, None]).sum(axis=(0, 1, 2))
+    params = dict(params)
+    params["stem1"] = {**params["stem1"],
+                       "conv": {"kernel": jnp.asarray(W_scaled)}}
+    stats = dict(stats)
+    stem_bn = dict(stats["stem1"]["bn"])
+    stem_bn["mean"] = jnp.asarray(np.asarray(stem_bn["mean"]) - shift)
+    stats["stem1"] = {**stats["stem1"], "bn": stem_bn}
+    return {"params": params, "batch_stats": stats}

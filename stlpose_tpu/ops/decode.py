@@ -90,6 +90,46 @@ def decode_heatmaps(heatmaps, center, scale, post_process: bool = True):
     return preds, maxvals, coords
 
 
+@functools.partial(jax.jit, static_argnames=("post_process",))
+def decode_heatmaps_nhwc(heatmaps_nhwc, center, scale,
+                         post_process: bool = True):
+    """Decode straight from the model's NHWC output layout.
+
+    Functionally identical to :func:`decode_heatmaps` on the transposed
+    input, but avoids materializing the (N, J, H, W) copy — on TPU the
+    transpose of a large heatmap batch costs more HBM traffic than the
+    whole decode.
+    """
+    N, H, W, J = heatmaps_nhwc.shape
+    flat = heatmaps_nhwc.reshape(N, H * W, J)
+    idx = jnp.argmax(flat, axis=1)                     # (N, J)
+    maxvals = jnp.max(flat, axis=1)
+    x = (idx % W).astype(jnp.float32)
+    y = jnp.floor(idx.astype(jnp.float32) / W)
+    coords = jnp.stack([x, y], axis=-1)
+    coords = coords * (maxvals > 0.0)[..., None].astype(jnp.float32)
+
+    if post_process:
+        px = jnp.floor(coords[..., 0] + 0.5).astype(jnp.int32)
+        py = jnp.floor(coords[..., 1] + 0.5).astype(jnp.int32)
+        ok = (px > 1) & (px < W - 1) & (py > 1) & (py < H - 1)
+        pxc = jnp.clip(px, 1, W - 2)
+        pyc = jnp.clip(py, 1, H - 2)
+
+        def at(yy, xx):
+            lin = yy * W + xx                          # (N, J)
+            return jnp.take_along_axis(flat, lin[:, None, :],
+                                       axis=1)[:, 0, :]
+
+        dx = at(pyc, pxc + 1) - at(pyc, pxc - 1)
+        dy = at(pyc + 1, pxc) - at(pyc - 1, pxc)
+        shift = jnp.stack([jnp.sign(dx), jnp.sign(dy)], axis=-1) * 0.25
+        coords = coords + shift * ok[..., None].astype(jnp.float32)
+
+    preds = transform_preds(coords, center, scale, (W, H))
+    return preds, maxvals, coords
+
+
 def keypoints_with_scores(heatmaps, center, scale):
     """Convenience: (N, J, 3) [x, y, score] array in image coordinates."""
     preds, maxvals, _ = decode_heatmaps(heatmaps, center, scale)
