@@ -73,10 +73,9 @@ class PoseEvaluator:
         if self.checkpoint is not None:
             self.state, _ = load_checkpoint(self.state, self.exp_path,
                                             self.checkpoint, only_model=True)
-        self.eval_step = make_eval_step(self.model, self.mesh,
-                                        flip_tta=self.flip)
-        self.infer = make_infer_fn(self.model, self.mesh,
-                                   flip_tta=self.flip)
+        from stlpose_tpu.parallel.steps import make_eval_decode_step
+        self.eval_decode = make_eval_decode_step(self.model, self.mesh,
+                                                 flip_tta=self.flip)
 
     def evaluate_model(self, labels_file: str | None = None,
                        write_every: int = 2000):
@@ -94,15 +93,11 @@ class PoseEvaluator:
         for batch in self.valid_pipe:
             dev = shard_batch(self.mesh, {
                 "image": batch["image"], "target": batch["target"],
-                "target_weight": batch["target_weight"]})
-            # loss + PCK on the eval step; decode via the fused infer fn
-            _, metrics = self.eval_step(self.state, dev)
-            preds, _ = self.infer(self.state,
-                                  shard_batch(self.mesh, batch["image"]),
-                                  shard_batch(self.mesh,
-                                              jnp.asarray(batch["center"])),
-                                  shard_batch(self.mesh,
-                                              jnp.asarray(batch["scale"])))
+                "target_weight": batch["target_weight"],
+                "center": jnp.asarray(batch["center"]),
+                "scale": jnp.asarray(batch["scale"])})
+            # ONE fused program: flip-TTA forward + loss + PCK + decode
+            preds, metrics = self.eval_decode(self.state, dev)
             losses.append(float(metrics["loss"]))
             hits += float(metrics["pck_hit"])
             cnts += float(metrics["pck_cnt"])

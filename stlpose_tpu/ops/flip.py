@@ -34,6 +34,22 @@ def flip_back(heatmaps, flip_pairs=constants.FLIP_PAIRS):
     return heatmaps[:, perm, :, ::-1]
 
 
+def flip_back_nhwc(heatmaps, flip_pairs=constants.FLIP_PAIRS):
+    """NHWC-layout variant of :func:`flip_back` (reverse W = axis 2, swap
+    left/right channel pairs on axis 3) — keeps the eval path in the
+    model's native layout."""
+    perm = jnp.asarray(_pair_permutation(heatmaps.shape[3], flip_pairs))
+    return heatmaps[:, :, ::-1, :][..., perm]
+
+
+def average_flip_tta_nhwc(heatmaps, heatmaps_flipped, shift: bool = True):
+    """NHWC-layout flip-TTA combine (see :func:`average_flip_tta`)."""
+    unflipped = flip_back_nhwc(heatmaps_flipped)
+    if shift:
+        unflipped = unflipped.at[:, :, 1:, :].set(unflipped[:, :, :-1, :])
+    return 0.5 * (heatmaps + unflipped)
+
+
 def fliplr_joints(joints, joints_vis, width, flip_pairs=constants.FLIP_PAIRS):
     """Mirror joint annotations for a horizontally flipped image.
 

@@ -129,29 +129,69 @@ def make_infer_fn(model, mesh, flip_tta: bool = True,
                   decode: bool = True) -> Callable:
     """Build the compiled inference function: crops -> heatmaps -> decoded
     keypoints in source-image coordinates, all in one XLA program
-    (SURVEY.md §7 "decode on device").
+    (SURVEY.md §7 "decode on device"). Flip-TTA and decode run in the
+    model's native NHWC layout — no transpose copies.
 
-    Returns fn(state, images, centers, scales) -> (preds (N,J,3), heatmaps).
+    Returns fn(state, images, centers, scales) -> (preds (N,J,3),
+    heatmaps NJHW) when decode, else heatmaps NJHW.
     """
-    from stlpose_tpu.ops.decode import decode_heatmaps
+    from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+    from stlpose_tpu.ops.flip import average_flip_tta_nhwc
 
-    def infer(state: PoseTrainState, images, centers, scales):
+    def forward_hm(state, images):
         if flip_tta:
             n = images.shape[0]
             both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
             out = model.apply(state.variables(), both, train=False)
-            hm = average_flip_tta(_nhwc_to_njhw(out[:n]),
-                                  _nhwc_to_njhw(out[n:]))
-        else:
-            hm = _nhwc_to_njhw(model.apply(state.variables(), images,
-                                           train=False))
+            return average_flip_tta_nhwc(out[:n], out[n:])
+        return model.apply(state.variables(), images, train=False)
+
+    def infer(state: PoseTrainState, images, centers, scales):
+        hm = forward_hm(state, images)
         if not decode:
-            return hm
-        preds, maxvals, _ = decode_heatmaps(hm, centers, scales)
-        return jnp.concatenate([preds, maxvals[..., None]], axis=-1), hm
+            return _nhwc_to_njhw(hm)
+        preds, maxvals, _ = decode_heatmaps_nhwc(hm, centers, scales)
+        return (jnp.concatenate([preds, maxvals[..., None]], axis=-1),
+                _nhwc_to_njhw(hm))
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(infer,
                    in_shardings=(repl, data, data, data),
                    out_shardings=(data, data) if decode else data)
+
+
+def make_eval_decode_step(model, mesh, flip_tta: bool = True) -> Callable:
+    """One fused eval program: flip-TTA forward + loss + PCK + decoded
+    keypoints — the evaluator's whole per-batch work in a single forward
+    (the reference runs separate loss and decode passes,
+    03_evaluate.py:131-155).
+
+    Returns fn(state, batch) -> (preds (N, J, 3), metrics dict); ``batch``
+    needs image/target/target_weight/center/scale.
+    """
+    from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+    from stlpose_tpu.ops.flip import average_flip_tta_nhwc
+
+    def step(state: PoseTrainState, batch):
+        images = batch["image"]
+        if flip_tta:
+            n = images.shape[0]
+            both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
+            out = model.apply(state.variables(), both, train=False)
+            hm = average_flip_tta_nhwc(out[:n], out[n:])
+        else:
+            hm = model.apply(state.variables(), images, train=False)
+        pred_njhw = _nhwc_to_njhw(hm)
+        loss = person_mse_loss(pred_njhw, batch["target"],
+                               batch["target_weight"])
+        hit, cnt = _pck_from_heatmaps(pred_njhw, batch["target"])
+        preds, maxvals, _ = decode_heatmaps_nhwc(
+            hm, batch["center"], batch["scale"])
+        kpts = jnp.concatenate([preds, maxvals[..., None]], axis=-1)
+        return kpts, {"loss": loss, "pck_hit": hit, "pck_cnt": cnt}
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, data),
+                   out_shardings=(data, repl))
