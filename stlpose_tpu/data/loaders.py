@@ -168,13 +168,19 @@ def get_detection_dataset(exp_data: dict, split: str = "train",
     return pipe
 
 
-def get_vase_subset(img_size: int = 400, dataset_name: str = "red_black",
+def get_vase_subset(img_size: int = 400, dataset_name: str | None = None,
                     data_path: str | None = None, batch_size: int = 1,
                     num_workers: int | None = None):
     """Loose vase-image pipeline for qualitative two-stage evaluation
-    (reference: data/data_loaders.py:419-448)."""
+    (reference: data/data_loaders.py:419-448 — images live under
+    ``<data>/ccoimages_final``; pass ``dataset_name`` to read another
+    directory, e.g. red_black / open_subset)."""
     data_path = data_path or CONFIG["paths"]["data_path"]
-    recs = dd.list_directory_records(os.path.join(data_path, dataset_name))
+    sub = dataset_name or "ccoimages_final"
+    d = os.path.join(data_path, sub)
+    if not os.path.isdir(d) and dataset_name:
+        d = os.path.join(data_path, "class_arch_data", dataset_name)
+    recs = dd.list_directory_records(d)
     nw = num_workers if num_workers is not None else CONFIG["num_workers"]
     return dd.DetectionDataPipeline(recs, batch_size, img_size=img_size,
                                     num_workers=nw)
