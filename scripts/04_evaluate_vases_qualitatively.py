@@ -23,8 +23,9 @@ def main():
     p.add_argument("-d", "--exp_directory", required=True)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--detector_checkpoint", default=None)
-    p.add_argument("--dataset_name", default="red_black",
-                   choices=["red_black", "open_subset"])
+    p.add_argument("--dataset_name", default="ccoimages_final",
+                   help="image directory under the data root "
+                        "(ccoimages_final / red_black / open_subset)")
     p.add_argument("--bbox_thr", type=float, default=0.5)
     p.add_argument("--kpt_thr", type=float, default=0.1)
     p.add_argument("--data_path", default=None)

@@ -23,10 +23,11 @@ from typing import Tuple
 CONFIG = {
     "paths": {
         "data_path": os.environ.get("STLPOSE_DATA_PATH", "../../data"),
-        "database_path": "../databases",
+        "database_path": os.environ.get("STLPOSE_DATABASE_PATH",
+                                        "../databases"),
         "experiments_path": os.environ.get("STLPOSE_EXPERIMENTS_PATH", "../experiments"),
         "comparisons_path": "../experiments/model_comparison",
-        "knn_path": "../knn",
+        "knn_path": os.environ.get("STLPOSE_KNN_PATH", "../knn"),
         "pretrained_path": os.environ.get("STLPOSE_PRETRAINED_PATH", "../resources"),
         "dict_path": "../../data/mapping_dicts",
         "submission": "submission_dict.json",

@@ -146,19 +146,25 @@ def make_infer_fn(model, mesh, flip_tta: bool = True,
             return average_flip_tta_nhwc(out[:n], out[n:])
         return model.apply(state.variables(), images, train=False)
 
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    if not decode:
+        def infer_hm(state: PoseTrainState, images):
+            return _nhwc_to_njhw(forward_hm(state, images))
+
+        return jax.jit(infer_hm, in_shardings=(repl, data),
+                       out_shardings=data)
+
     def infer(state: PoseTrainState, images, centers, scales):
         hm = forward_hm(state, images)
-        if not decode:
-            return _nhwc_to_njhw(hm)
         preds, maxvals, _ = decode_heatmaps_nhwc(hm, centers, scales)
         return (jnp.concatenate([preds, maxvals[..., None]], axis=-1),
                 _nhwc_to_njhw(hm))
 
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
     return jax.jit(infer,
                    in_shardings=(repl, data, data, data),
-                   out_shardings=(data, data) if decode else data)
+                   out_shardings=(data, data))
 
 
 def make_eval_decode_step(model, mesh, flip_tta: bool = True) -> Callable:

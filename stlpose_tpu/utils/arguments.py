@@ -109,8 +109,10 @@ def get_directory_argument(argv=None, get_checkpoint=False,
     if args.checkpoint is not None and get_checkpoint:
         from stlpose_tpu.utils.checkpoint import checkpoint_path
         ck = checkpoint_path(exp_path, args.checkpoint)
-        assert os.path.exists(ck + ".orbax"), (
-            f"Checkpoint '{ck}' does not exist")
+        ck_det = checkpoint_path(exp_path, args.checkpoint, detector=True)
+        assert (os.path.exists(ck + ".orbax")
+                or os.path.exists(ck_det + ".orbax")), (
+            f"Checkpoint '{ck}' does not exist (neither pose nor detector)")
     return exp_path, args
 
 
