@@ -45,6 +45,29 @@ def _device_finalize(crops, joints, vis):
     return x, target, weight
 
 
+@jax.jit
+def _device_warp_finalize(canvases, centers, scales, rots, joints, vis):
+    """Fully device-side geometry: batched affine crop warp + joint
+    transform + normalize + Gaussian targets in ONE XLA program.
+
+    The host only decodes images onto fixed letterbox canvases; centers /
+    scales / joints arrive pre-scaled to canvas coordinates (BASELINE
+    config #2 — 'batched affine-warp + heatmap-target datagen').
+    """
+    from stlpose_tpu.ops.affine import get_affine_matrix, apply_affine
+    from stlpose_tpu.ops.warp import affine_warp
+
+    crops = affine_warp(canvases, centers, scales, rots, IMAGE_SIZE)
+    x = (crops / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    mats = get_affine_matrix(centers, scales, rots, IMAGE_SIZE)
+    joints_crop = apply_affine(joints, mats)
+    joints_crop = jnp.where(vis[..., None] > 0, joints_crop, joints)
+    target, weight = generate_targets(joints_crop, vis,
+                                      heatmap_size=HEATMAP_SIZE,
+                                      image_size=IMAGE_SIZE)
+    return x, target, weight, joints_crop
+
+
 class PoseDataPipeline:
     """Iterable over device-ready batches of pose crops.
 
@@ -65,7 +88,8 @@ class PoseDataPipeline:
                  is_train: bool, exp_data: dict | None = None,
                  shuffle: bool = False, num_workers: int = 8,
                  pad_multiple: int = 1, drop_last: bool = False,
-                 seed: int = 13):
+                 seed: int = 13, device_warp: bool = False,
+                 canvas_size: int = 640):
         self.records = list(records)
         self.batch_size = batch_size
         self.is_train = is_train
@@ -73,6 +97,8 @@ class PoseDataPipeline:
         self.num_workers = max(1, num_workers)
         self.pad_multiple = pad_multiple
         self.drop_last = drop_last
+        self.device_warp = device_warp
+        self.canvas_size = canvas_size
         self.rng = np.random.RandomState(seed)
         self.aug = None
         if is_train and exp_data is not None:
@@ -102,18 +128,57 @@ class PoseDataPipeline:
             return process_sample(rec, img, frozen)
         return process_sample(rec, img, None)
 
+    def _load_one_raw(self, rec: PoseRecord):
+        """device_warp host stage: decode + letterbox only; geometry params
+        travel to the device in canvas coordinates."""
+        import cv2
+
+        img = read_image(rec.image)
+        joints = rec.joints.copy()
+        vis = rec.joints_vis.copy()
+        c, s, r = rec.center.copy(), rec.scale.copy(), 0.0
+        if self.aug is not None:
+            with self._aug_lock:
+                c, s, r, do_flip = self.aug.sample(c, s, joints, vis)
+            if do_flip:
+                img = img[:, ::-1, :]
+                from stlpose_tpu.data.pose_dataset import _flip_perm
+                perm = _flip_perm(len(joints))
+                joints[:, 0] = img.shape[1] - joints[:, 0] - 1
+                joints = joints[perm] * vis[perm][:, None]
+                vis = vis[perm]
+                c[0] = img.shape[1] - c[0] - 1
+
+        S = self.canvas_size
+        lam = min(S / img.shape[0], S / img.shape[1])
+        nh, nw = int(round(img.shape[0] * lam)), int(round(img.shape[1] * lam))
+        canvas = np.zeros((S, S, 3), np.float32)
+        canvas[:nh, :nw] = cv2.resize(img, (nw, nh),
+                                      interpolation=cv2.INTER_LINEAR)
+        meta = {"center": c.astype(np.float32), "scale": s.astype(np.float32),
+                "rotation": np.float32(r), "score": np.float32(rec.score),
+                "image_id": np.int64(rec.image_id),
+                "perceptual_loss": np.float32(rec.perceptual_loss)}
+        return (canvas, (c * lam).astype(np.float32),
+                (s * lam).astype(np.float32), np.float32(r),
+                (joints * lam).astype(np.float32), vis.astype(np.float32),
+                meta)
+
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.records))
         if self.shuffle:
             self.rng.shuffle(order)
+        loader = self._load_one_raw if self.device_warp else self._load_one
+        collate = (self._collate_device_warp if self.device_warp
+                   else self._collate)
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, len(order), self.batch_size):
                 idx = order[start:start + self.batch_size]
                 if self.drop_last and len(idx) < self.batch_size:
                     break
                 samples = list(pool.map(
-                    lambda i: self._load_one(self.records[i]), idx))
-                yield self._collate(samples, [self.records[i] for i in idx])
+                    lambda i: loader(self.records[i]), idx))
+                yield collate(samples, [self.records[i] for i in idx])
 
     def _collate(self, samples: List, recs: List[PoseRecord]) -> dict:
         crops = np.stack([s[0] for s in samples])
@@ -144,6 +209,46 @@ class PoseDataPipeline:
             "n_valid": n_valid,
         }
         return batch
+
+
+    def _collate_device_warp(self, samples: List, recs: List[PoseRecord]
+                             ) -> dict:
+        canvases = np.stack([s[0] for s in samples])
+        centers = np.stack([s[1] for s in samples])
+        scales = np.stack([s[2] for s in samples])
+        rots = np.asarray([s[3] for s in samples], np.float32)
+        joints = np.stack([s[4] for s in samples])
+        vis = np.stack([s[5] for s in samples])
+        metas = [s[6] for s in samples]
+        n_valid = len(samples)
+
+        pad = (-n_valid) % self.pad_multiple if self.pad_multiple > 1 else 0
+        if pad:
+            sel = np.arange(pad) % n_valid
+            canvases = np.concatenate([canvases, canvases[sel]])
+            centers = np.concatenate([centers, centers[sel]])
+            scales = np.concatenate([scales, scales[sel]])
+            rots = np.concatenate([rots, rots[sel]])
+            joints = np.concatenate([joints, joints[sel]])
+            vis = np.concatenate([vis, vis[sel]])
+            metas = metas + [metas[i] for i in sel]
+
+        x, target, weight, joints_crop = _device_warp_finalize(
+            jnp.asarray(canvases), jnp.asarray(centers),
+            jnp.asarray(scales), jnp.asarray(rots), jnp.asarray(joints),
+            jnp.asarray(vis))
+        return {
+            "image": x, "target": target, "target_weight": weight,
+            "joints": np.asarray(joints_crop), "joints_vis": vis,
+            # decode metadata stays in ORIGINAL image coordinates
+            "center": np.stack([m["center"] for m in metas]),
+            "scale": np.stack([m["scale"] for m in metas]),
+            "score": np.array([m["score"] for m in metas], np.float32),
+            "image_id": np.array([m["image_id"] for m in metas], np.int64),
+            "perceptual_loss": np.array(
+                [m["perceptual_loss"] for m in metas], np.float32),
+            "n_valid": n_valid,
+        }
 
 
 class _FrozenAug:
