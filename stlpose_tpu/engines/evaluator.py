@@ -58,7 +58,8 @@ class PoseEvaluator:
         _, self.valid_pipe = load_dataset(
             self.exp_data, train=False, data_path=self.data_path,
             num_workers=self.num_workers, pad_multiple=n_dev)
-        model = PoseHighResolutionNet(config=get_hrnet_config(config_name))
+        model = PoseHighResolutionNet(config=get_hrnet_config(config_name),
+                              dtype=_model_dtype())
         self.model = model
         variables = None
         if pretrained == "default":
@@ -141,3 +142,12 @@ class PoseEvaluator:
             np.concatenate(all_preds), np.concatenate(all_boxes), image_ids,
             self.preds_file, in_vis_thr=ev.get("in_vis_thr", 0.2),
             oks_thr=ev.get("oks_thr", 0.9))
+
+
+def _model_dtype():
+    """Compute dtype for the pose model: f32 default, bf16 via
+    STLPOSE_DTYPE=bfloat16 (BN statistics and the loss stay f32)."""
+    import os
+    import jax.numpy as jnp
+    return jnp.bfloat16 if os.environ.get("STLPOSE_DTYPE") == "bfloat16" \
+        else jnp.float32

@@ -61,7 +61,8 @@ class ArchDataExtractor:
             self.exp_data, train=False, data_path=self.data_path,
             num_workers=self.num_workers,
             pad_multiple=self.mesh.devices.size)
-        model = PoseHighResolutionNet(config=get_hrnet_config(config_name))
+        model = PoseHighResolutionNet(config=get_hrnet_config(config_name),
+                              dtype=_model_dtype())
         self.model = model
         from stlpose_tpu.utils.checkpoint import load_pretrained_variables
         variables = load_pretrained_variables(model, pretrained) \
@@ -232,3 +233,12 @@ class RetrievalExperimenter:
             with open(os.path.join(self.exp_directory, fname), "w") as f:
                 json.dump(savedict, f)
         return savedict
+
+
+def _model_dtype():
+    """Compute dtype for the pose model: f32 default, bf16 via
+    STLPOSE_DTYPE=bfloat16 (BN statistics and the loss stay f32)."""
+    import os
+    import jax.numpy as jnp
+    return jnp.bfloat16 if os.environ.get("STLPOSE_DTYPE") == "bfloat16" \
+        else jnp.float32

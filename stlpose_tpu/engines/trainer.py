@@ -83,7 +83,8 @@ class PoseTrainer:
 
     def setup_model(self, config_name: str = "w32_256x192",
                     pretrained: str | None = "default"):
-        model = PoseHighResolutionNet(config=get_hrnet_config(config_name))
+        model = PoseHighResolutionNet(config=get_hrnet_config(config_name),
+                              dtype=_model_dtype())
         self.model = model
         variables = None
         if pretrained == "default":
@@ -220,3 +221,12 @@ class PoseTrainer:
         print_("Finished training procedure")
         save_checkpoint(self.state, self.exp_path, num_epochs,
                         scheduler=self.scheduler, finished=True)
+
+
+def _model_dtype():
+    """Compute dtype for the pose model: f32 default, bf16 via
+    STLPOSE_DTYPE=bfloat16 (BN statistics and the loss stay f32)."""
+    import os
+    import jax.numpy as jnp
+    return jnp.bfloat16 if os.environ.get("STLPOSE_DTYPE") == "bfloat16" \
+        else jnp.float32

@@ -85,7 +85,8 @@ class VaseEvaluator:
                 detector=True, only_model=True)
         self.det_predict = make_detector_predict(self.detector, self.mesh)
         # pose model
-        model = PoseHighResolutionNet(config=get_hrnet_config(config_name))
+        model = PoseHighResolutionNet(config=get_hrnet_config(config_name),
+                              dtype=_model_dtype())
         self.pose_model = model
         variables = load_pretrained_variables(model, pretrained) \
             if pretrained else None
@@ -171,3 +172,12 @@ class VaseEvaluator:
                                               f"{name}_poses.png"))
                 n_done += 1
         return n_done
+
+
+def _model_dtype():
+    """Compute dtype for the pose model: f32 default, bf16 via
+    STLPOSE_DTYPE=bfloat16 (BN statistics and the loss stay f32)."""
+    import os
+    import jax.numpy as jnp
+    return jnp.bfloat16 if os.environ.get("STLPOSE_DTYPE") == "bfloat16" \
+        else jnp.float32
