@@ -30,7 +30,8 @@ def main():
         use_perceptual_loss=args.use_perceptual_loss,
         detector_config=os.environ.get("STLPOSE_DETECTOR_CONFIG"))
     trainer.load_dataset()
-    trainer.setup_model()
+    trainer.setup_model(
+        pretrained=os.environ.get("STLPOSE_DETECTOR_PRETRAINED") or None)
     trainer.training_loop()
 
 

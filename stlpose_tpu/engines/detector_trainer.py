@@ -125,11 +125,12 @@ class DetectorTrainer:
             exp, "valid", num_workers=self.num_workers,
             pad_multiple=n_dev, data_path=self.data_path)
 
-    def setup_model(self):
+    def setup_model(self, pretrained: str | None = None):
         shim = _DetectorModelShim(self.detector)
+        variables = load_detector_pretrained(self.detector, pretrained)
         self.state, self.tx = create_train_state(
             shim, self.exp_data, jax.random.PRNGKey(CONFIG["random_seed"]),
-            (1,))
+            (1,), variables=variables)
         self.scheduler = build_scheduler(self.exp_data)
         if self.checkpoint is not None:
             self.state, epoch = load_checkpoint(
@@ -203,6 +204,20 @@ class DetectorTrainer:
         save_checkpoint(self.state, self.exp_path, num_epochs,
                         scheduler=self.scheduler, detector=True,
                         finished=True)
+
+
+def load_detector_pretrained(detector, pth_path: str | None):
+    """Convert a torchvision fasterrcnn .pth into detector variables
+    (reference seeds from torchvision's COCO-pretrained model,
+    lib/model_setup.py:70-73). Returns None when no path given."""
+    import os
+    if not pth_path or not os.path.isfile(pth_path):
+        return None
+    from stlpose_tpu.models.convert import load_torch_statedict
+    from stlpose_tpu.models.convert_detector import torch_fasterrcnn_to_flax
+    state = load_torch_statedict(pth_path)
+    return torch_fasterrcnn_to_flax(
+        state, roi_channels=detector.config.fpn_channels)
 
 
 def evaluate_detector(detector, state, predict, pipe, mesh,

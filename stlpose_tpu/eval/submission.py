@@ -18,12 +18,13 @@ import numpy as np
 
 from stlpose_tpu.data.coco_api import COCO
 from stlpose_tpu.eval.cocoeval import COCOeval
-from stlpose_tpu.ops.nms import oks_nms
+from stlpose_tpu.ops.nms import oks_nms, soft_oks_nms
 from stlpose_tpu.utils.experiment import load_predictions
 
 
 def rescore_and_nms(all_preds, all_boxes, image_ids,
-                    in_vis_thr: float = 0.2, oks_thr: float = 0.9):
+                    in_vis_thr: float = 0.2, oks_thr: float = 0.9,
+                    soft: bool = False):
     """Per-image keypoint rescoring + OKS-NMS.
 
     Reference semantics (lib/metrics.py:236-258): each person's score becomes
@@ -57,7 +58,8 @@ def rescore_and_nms(all_preds, all_boxes, image_ids,
             valid = joint_scores > in_vis_thr
             kpt_score = (joint_scores[valid].mean() if valid.any() else 0.0)
             person["score"] = float(kpt_score * person["score"])
-        keep = oks_nms(people, oks_thr)
+        keep = (soft_oks_nms(people, oks_thr) if soft
+                else oks_nms(people, oks_thr))
         out.append(people if len(keep) == 0 else [people[k] for k in keep])
     return out
 
@@ -82,7 +84,7 @@ def to_coco_results(nmsed_kpts):
 
 def generate_submission(all_preds, all_boxes, image_ids, preds_file,
                         name: bool = False, in_vis_thr: float = 0.2,
-                        oks_thr: float = 0.9):
+                        oks_thr: float = 0.9, soft: bool = False):
     """Rescoring + OKS-NMS + merge-into-results-file
     (reference: lib/metrics.py:192-265).
 
@@ -100,7 +102,8 @@ def generate_submission(all_preds, all_boxes, image_ids, preds_file,
         image_ids = [int(str(n)[-16:-4]) for n in image_ids]
 
     nmsed = rescore_and_nms(all_preds, all_boxes, image_ids,
-                            in_vis_thr=in_vis_thr, oks_thr=oks_thr)
+                            in_vis_thr=in_vis_thr, oks_thr=oks_thr,
+                            soft=soft)
     results = load_predictions(preds_file) + to_coco_results(nmsed)
     with open(preds_file, "w") as f:
         json.dump(results, f)

@@ -91,6 +91,39 @@ def box_nms(dets, thresh):
     return keep
 
 
+def soft_oks_nms(kpts_db, thresh, max_dets: int = 20, sigmas=None,
+                 in_vis_thre=None):
+    """Soft OKS-NMS: instead of suppressing overlapping poses, decay their
+    scores by exp(-oks^2 / thresh) and re-rank.
+
+    The reference *calls* ``soft_oks_nms`` when ``self.soft_nms`` is set but
+    never defines either (HRNet_Coco.py:440-441 — dead path); this is the
+    working implementation following the HRNet codebase's published
+    algorithm. Returns kept indices ordered by final score.
+    """
+    if len(kpts_db) == 0:
+        return []
+    scores = np.array([k["score"] for k in kpts_db], np.float64).copy()
+    kpts = np.array([np.asarray(k["keypoints"]).flatten() for k in kpts_db])
+    areas = np.array([k["area"] for k in kpts_db], np.float64)
+
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0 and len(keep) < max_dets:
+        i = order[0]
+        keep.append(int(i))
+        if order.size == 1:
+            break
+        oks = oks_iou(kpts[i], kpts[order[1:]], areas[i], areas[order[1:]],
+                      sigmas, in_vis_thre)
+        decay = np.exp(-(oks ** 2) / thresh)
+        scores[order[1:]] *= decay
+        rest = order[1:]
+        rest = rest[scores[rest].argsort()[::-1]]
+        order = rest
+    return keep
+
+
 # --------------------------------------------------------------- device side
 
 def box_nms_jax(boxes, scores, iou_threshold, valid_mask=None):
