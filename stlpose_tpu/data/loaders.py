@@ -105,6 +105,9 @@ def load_dataset(exp_data: dict, train: bool = True, validation: bool = True,
     either may be None."""
     bs = exp_data["training"]["batch_size"]
     nw = num_workers if num_workers is not None else CONFIG["num_workers"]
+    # device_warp: host only letterboxes; crop warps + targets run batched
+    # on device (BASELINE config #2). Toggle via the dataset group.
+    dw = bool(exp_data["dataset"].get("device_warp", False))
     train_pipe = valid_pipe = None
     if train:
         recs = build_pose_records(exp_data, "train", perceptual_loss_dict,
@@ -112,13 +115,13 @@ def load_dataset(exp_data: dict, train: bool = True, validation: bool = True,
         train_pipe = PoseDataPipeline(
             recs, bs, is_train=True, exp_data=exp_data,
             shuffle=shuffle_train, num_workers=nw,
-            pad_multiple=pad_multiple, drop_last=True)
+            pad_multiple=pad_multiple, drop_last=True, device_warp=dw)
     if validation:
         recs = build_pose_records(exp_data, "valid", perceptual_loss_dict,
                                   None, data_path)
         valid_pipe = PoseDataPipeline(
             recs, bs, is_train=False, shuffle=shuffle_valid,
-            num_workers=nw, pad_multiple=pad_multiple)
+            num_workers=nw, pad_multiple=pad_multiple, device_warp=dw)
     return train_pipe, valid_pipe
 
 
