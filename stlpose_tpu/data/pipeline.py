@@ -89,7 +89,8 @@ class PoseDataPipeline:
                  shuffle: bool = False, num_workers: int = 8,
                  pad_multiple: int = 1, drop_last: bool = False,
                  seed: int = 13, device_warp: bool = False,
-                 canvas_size: int = 640):
+                 canvas_size: int = 640, stylizer=None, style_bank=None,
+                 style_alpha=1.0):
         self.records = list(records)
         self.batch_size = batch_size
         self.is_train = is_train
@@ -99,6 +100,13 @@ class PoseDataPipeline:
         self.drop_last = drop_last
         self.device_warp = device_warp
         self.canvas_size = canvas_size
+        # inline AdaIN stylization (BASELINE config #4): crops are stylized
+        # on device before normalization, replacing the reference's offline
+        # Styled-COCO generation with an XLA stage in the input pipeline
+        self.stylizer = stylizer
+        self.style_bank = (np.asarray(style_bank, np.float32)
+                           if style_bank is not None else None)
+        self.style_alpha = style_alpha
         self.rng = np.random.RandomState(seed)
         self.aug = None
         if is_train and exp_data is not None:
@@ -195,8 +203,15 @@ class PoseDataPipeline:
             vis = np.concatenate([vis, vis[sel]])
             metas = metas + [metas[i] for i in sel]
 
+        crops_dev = jnp.asarray(crops)
+        if self.stylizer is not None and self.style_bank is not None:
+            sidx = self.rng.randint(0, len(self.style_bank), len(crops))
+            styled = self.stylizer(crops_dev / 255.0,
+                                   jnp.asarray(self.style_bank[sidx]),
+                                   alpha=self.style_alpha)
+            crops_dev = styled * 255.0
         x, target, weight = _device_finalize(
-            jnp.asarray(crops), jnp.asarray(joints), jnp.asarray(vis))
+            crops_dev, jnp.asarray(joints), jnp.asarray(vis))
         batch = {
             "image": x, "target": target, "target_weight": weight,
             "joints": joints, "joints_vis": vis,
