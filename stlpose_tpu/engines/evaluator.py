@@ -33,6 +33,35 @@ from stlpose_tpu.utils.checkpoint import (load_checkpoint,
                                           load_pretrained_variables)
 
 
+def records_to_coco_gt(records):
+    """Build an in-memory COCO keypoint GT from pose records (for datasets
+    without an annotation file in COCO layout, e.g. ClassArch)."""
+    from stlpose_tpu.data.coco_api import COCO
+
+    images, anns = [], []
+    seen = set()
+    for i, rec in enumerate(records):
+        if rec.image_id not in seen:
+            seen.add(rec.image_id)
+            images.append({"id": int(rec.image_id), "height": 10000,
+                           "width": 10000})
+        kp = np.concatenate(
+            [rec.joints,
+             np.where(rec.joints_vis[:, None] > 0, 2.0, 0.0)], axis=1)
+        # box from the crop geometry (center/scale in pixel-std units)
+        w = rec.scale[0] * 200.0
+        h = rec.scale[1] * 200.0
+        x, y = rec.center[0] - w / 2, rec.center[1] - h / 2
+        anns.append({"id": i + 1, "image_id": int(rec.image_id),
+                     "category_id": 1,
+                     "keypoints": kp.reshape(-1).tolist(),
+                     "num_keypoints": int((rec.joints_vis > 0).sum()),
+                     "bbox": [float(x), float(y), float(w), float(h)],
+                     "area": float(w * h), "iscrowd": 0})
+    return COCO({"images": images, "annotations": anns,
+                 "categories": [{"id": 1, "name": "person"}]})
+
+
 class PoseEvaluator:
     """Engine behind 03_evaluate.py."""
 
@@ -84,8 +113,14 @@ class PoseEvaluator:
         exp = self.exp_data
         data_path = self.data_path or CONFIG["paths"]["data_path"]
         if labels_file is None:
-            labels_file = os.path.join(data_path, "annotations",
-                                       "person_keypoints_val.json")
+            if exp["dataset"]["dataset_name"] in ("coco", "styled_coco"):
+                labels_file = os.path.join(data_path, "annotations",
+                                           "person_keypoints_val.json")
+            else:
+                # arch_data / combined: fit the GT COCO object in memory
+                # from the eval records (the reference's
+                # get_coco_api_from_dataset path)
+                labels_file = records_to_coco_gt(self.valid_pipe.records)
         reset_predictions_file(self.exp_path)
 
         losses, hits, cnts = [], 0.0, 0.0
