@@ -24,7 +24,8 @@ def main():
     print_("Starting HRNet evaluation", type="new_exp")
     evaluator = PoseEvaluator(exp_path, checkpoint=args.checkpoint,
                               dataset_name=args.dataset_name,
-                              data_path=args.data_path, flip=args.flip)
+                              data_path=args.data_path, flip=args.flip,
+                              save_visualizations=args.save)
     evaluator.setup_model_dataset(
         config_name=os.environ.get("STLPOSE_MODEL_CONFIG", "w32_256x192"),
         pretrained=os.environ.get("STLPOSE_PRETRAINED", "default"))

@@ -67,7 +67,8 @@ class PoseEvaluator:
 
     def __init__(self, exp_path: str, checkpoint=None, dataset_name=None,
                  data_path=None, num_workers=None, flip: bool = True,
-                 save_results: bool = True):
+                 save_results: bool = True, save_visualizations: bool = False,
+                 max_visualizations: int = 16):
         self.exp_path = exp_path
         self.exp_data = load_experiment_parameters(exp_path)
         if dataset_name:
@@ -77,6 +78,9 @@ class PoseEvaluator:
         self.num_workers = num_workers
         self.flip = flip
         self.save_results = save_results
+        self.save_visualizations = save_visualizations
+        self.max_visualizations = max_visualizations
+        self._n_vis = 0
         self.preds_file = os.path.join(exp_path,
                                        CONFIG["paths"]["submission"])
 
@@ -140,6 +144,9 @@ class PoseEvaluator:
 
             n = batch["n_valid"]
             preds = np.asarray(preds)[:n]
+            if self.save_visualizations and self._n_vis < \
+                    self.max_visualizations:
+                self._dump_visualizations(batch, preds)
             center, scale = batch["center"][:n], batch["scale"][:n]
             area = np.prod(scale * 200.0, axis=1)
             boxes = np.concatenate(
@@ -170,6 +177,32 @@ class PoseEvaluator:
                 alpha=exp["dataset"].get("alpha"),
                 styles=exp["dataset"].get("styles"))
         return stats
+
+    def _dump_visualizations(self, batch, preds):
+        """Annotated crop dumps for the reference's ``--save True`` path
+        (03_evaluate.py:157-173): predicted skeleton drawn over the
+        un-normalized input crop, saved under plots/eval_examples."""
+        from stlpose_tpu.ops.pose_entries import unnormalize
+        from stlpose_tpu.ops.affine import get_affine_matrix_np
+        from stlpose_tpu.utils.visualization import draw_pose
+
+        out_dir = os.path.join(self.exp_path, "plots", "eval_examples")
+        os.makedirs(out_dir, exist_ok=True)
+        imgs = np.asarray(batch["image"])
+        for i in range(len(preds)):
+            if self._n_vis >= self.max_visualizations:
+                break
+            # map image-space predictions into the crop for overlay
+            mat = get_affine_matrix_np(batch["center"][i],
+                                       batch["scale"][i], 0.0, (192, 256))
+            pts = np.concatenate([preds[i, :, :2],
+                                  np.ones((preds.shape[1], 1))], 1) @ mat.T
+            pose = np.concatenate([pts, preds[i, :, 2:3]], axis=1)
+            draw_pose(unnormalize(imgs[i]), pose,
+                      savepath=os.path.join(
+                          out_dir,
+                          f"eval_{int(batch['image_id'][i])}_{i}.png"))
+            self._n_vis += 1
 
     def _flush(self, all_preds, all_boxes, image_ids):
         ev = self.exp_data["evaluation"]
