@@ -21,11 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from stlpose_tpu.config import CONFIG, get_hrnet_config
-from stlpose_tpu.data.loaders import load_dataset, build_pose_records
+from stlpose_tpu.data.loaders import load_dataset
 from stlpose_tpu.eval.submission import generate_submission, compute_precision
 from stlpose_tpu.models import PoseHighResolutionNet
-from stlpose_tpu.parallel import get_mesh, shard_batch, make_eval_step
-from stlpose_tpu.parallel.steps import make_infer_fn
+from stlpose_tpu.parallel import get_mesh, shard_batch
 from stlpose_tpu.train import create_train_state
 from stlpose_tpu.utils import (load_experiment_parameters, print_,
                                save_evaluation_stats, reset_predictions_file)

@@ -32,7 +32,7 @@ from stlpose_tpu.parallel import get_mesh
 from stlpose_tpu.parallel.detector_steps import make_detector_predict
 from stlpose_tpu.parallel.steps import make_infer_fn
 from stlpose_tpu.train import create_train_state
-from stlpose_tpu.utils import load_experiment_parameters, print_
+from stlpose_tpu.utils import load_experiment_parameters
 from stlpose_tpu.utils.checkpoint import (load_checkpoint,
                                           load_pretrained_variables)
 from stlpose_tpu.utils.visualization import draw_pose, visualize_bbox
