@@ -407,31 +407,31 @@ class FasterRCNN:
 
         rngs = jax.random.split(rng, N * 2).reshape(N, 2, -1)
 
-        def per_image(i):
-            lg = [l[i] for l in logits]
-            dl = [d[i] for d in deltas]
+        def per_image(lg, dl, feats_i, gt_boxes, gt_labels, gt_mask, rng2):
+            # lg/dl/feats_i: tuples of per-level arrays for ONE image
             lg_flat = jnp.concatenate([l.reshape(-1) for l in lg])
             dl_flat = jnp.concatenate([d.reshape(-1, 4) for d in dl])
-            l_obj, l_rpn_reg = rpn_loss(
-                cfg, anchors, lg_flat, dl_flat, batch["boxes"][i],
-                batch["box_mask"][i], rngs[i, 0])
-            props, _ = select_proposals(cfg, anchors_l, lg, dl, train)
+            l_obj, l_rpn_reg = rpn_loss(cfg, anchors, lg_flat, dl_flat,
+                                        gt_boxes, gt_mask, rng2[0])
+            props, _ = select_proposals(cfg, anchors_l, list(lg), list(dl),
+                                        train)
             props = jax.lax.stop_gradient(props)
             boxes, labels, regs, pos, sampled = roi_targets(
-                cfg, props, batch["boxes"][i], batch["labels"][i],
-                batch["box_mask"][i], rngs[i, 1])
+                cfg, props, gt_boxes, gt_labels, gt_mask, rng2[1])
             cls_logits, box_deltas = self.module.apply(
-                variables, [f[i] for f in feats[:4]], boxes,
+                variables, list(feats_i), boxes,
                 method=FasterRCNNModule.roi)
             l_cls, l_box = roi_loss(cfg, cls_logits, box_deltas, labels,
                                     regs, pos, sampled)
             return l_obj, l_rpn_reg, l_cls, l_box
 
-        losses = [per_image(i) for i in range(N)]
-        l_obj = sum(l[0] for l in losses) / N
-        l_rpn = sum(l[1] for l in losses) / N
-        l_cls = sum(l[2] for l in losses) / N
-        l_box = sum(l[3] for l in losses) / N
+        # vmap over the batch: ONE compiled copy of the per-image graph
+        # instead of N unrolled copies (compile-size blow-up at batch 32)
+        l_obj, l_rpn, l_cls, l_box = jax.vmap(per_image)(
+            tuple(logits), tuple(deltas), tuple(feats[:4]),
+            batch["boxes"], batch["labels"], batch["box_mask"], rngs)
+        l_obj, l_rpn = l_obj.mean(), l_rpn.mean()
+        l_cls, l_box = l_cls.mean(), l_box.mean()
         total = l_obj + l_rpn + l_cls + l_box
         loss_dict = {"loss_objectness": l_obj, "loss_rpn_box_reg": l_rpn,
                      "loss_classifier": l_cls, "loss_box_reg": l_box}
@@ -448,12 +448,11 @@ class FasterRCNN:
                                                   train=False)
         anchors_l = self._get_anchors(logits)
 
-        def per_image(i):
-            lg = [l[i] for l in logits]
-            dl = [d[i] for d in deltas]
-            props, _ = select_proposals(cfg, anchors_l, lg, dl, False)
+        def per_image(lg, dl, feats_i):
+            props, _ = select_proposals(cfg, anchors_l, list(lg), list(dl),
+                                        False)
             cls_logits, box_deltas = self.module.apply(
-                variables, [f[i] for f in feats[:4]], props,
+                variables, list(feats_i), props,
                 method=FasterRCNNModule.roi)
             scores = jax.nn.softmax(cls_logits, axis=-1)
             out_boxes, out_scores, out_labels = [], [], []
@@ -475,8 +474,6 @@ class FasterRCNN:
             return (boxes[top_i], jnp.maximum(top_s, 0.0), lb[top_i],
                     top_s > -jnp.inf)
 
-        res = [per_image(i) for i in range(images.shape[0])]
-        return {"boxes": jnp.stack([r[0] for r in res]),
-                "scores": jnp.stack([r[1] for r in res]),
-                "labels": jnp.stack([r[2] for r in res]),
-                "valid": jnp.stack([r[3] for r in res])}
+        b, s, l, v = jax.vmap(per_image)(tuple(logits), tuple(deltas),
+                                         tuple(feats[:4]))
+        return {"boxes": b, "scores": s, "labels": l, "valid": v}

@@ -133,7 +133,7 @@ class TestFasterRCNN:
 
         losses = []
         key = jax.random.PRNGKey(1)
-        for i in range(30):
+        for i in range(60):
             key, sub = jax.random.split(key)
             params, stats, opt_state, loss = step(params, stats, opt_state,
                                                   sub)
