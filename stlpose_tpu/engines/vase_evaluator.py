@@ -107,8 +107,10 @@ class VaseEvaluator:
         Returns dict: boxes/scores after filtering, per-crop keypoints
         (crop space, K x J x 3) and full-image keypoints (image space).
         """
-        dets = self.det_predict(self.det_state,
-                                jnp.asarray(image01[None]))
+        n_dev = self.mesh.devices.size
+        det_in = jnp.broadcast_to(jnp.asarray(image01)[None],
+                                  (max(n_dev, 1),) + image01.shape)
+        dets = self.det_predict(self.det_state, det_in)
         dets = {k: np.asarray(v) for k, v in dets.items()}
         boxes, labels, scores = bbox_filtering(
             {k: v[0] for k, v in dets.items()}, thr=self.bbox_thr)
@@ -119,11 +121,12 @@ class VaseEvaluator:
                     "crop_keypoints": np.zeros((0, 17, 3)),
                     "image_keypoints": np.zeros((0, 17, 3))}
 
-        # fixed-size crop batch (pad to max_dets so the pose program
-        # compiles once)
+        # fixed-size crop batch: pad to max_dets (rounded up to a mesh
+        # multiple) so the pose program compiles once and shards evenly
         K = len(boxes)
+        padded_n = self.max_dets + (-self.max_dets) % n_dev
         pad_boxes = np.concatenate(
-            [boxes, np.tile(boxes[-1:], (self.max_dets - K, 1))])
+            [boxes, np.tile(boxes[-1:], (padded_n - K, 1))])
         centers, scales = coords_to_center_scale(
             jnp.asarray(pad_boxes, jnp.float32), 192.0 / 256.0)
         crops = crop_from_center_scale(

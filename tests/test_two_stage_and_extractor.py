@@ -1,0 +1,79 @@
+"""Two-stage VaseEvaluator and retrieval-db ArchDataExtractor engines on
+synthetic fixtures with tiny models (BASELINE configs #3/#5 plumbing)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from stlpose_tpu.engines.retrieval_db import ArchDataExtractor
+from stlpose_tpu.engines.vase_evaluator import VaseEvaluator
+from stlpose_tpu.utils.experiment import create_experiment
+from tests.fixtures import make_archdata_dataset, make_coco_dataset
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ts")
+    data = root / "data"
+    make_archdata_dataset(str(data), n_imgs=4, img_hw=(240, 320))
+    os.makedirs(data / "ccoimages_final", exist_ok=True)
+    import cv2
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        cv2.imwrite(str(data / "ccoimages_final" / f"vase_{i}.jpg"),
+                    rng.randint(0, 255, (200, 260, 3), np.uint8))
+    exp_path = create_experiment("ts", {"batch_size": 2},
+                                 root=str(root / "exp"))
+    return str(data), exp_path
+
+
+class TestVaseEvaluator:
+    def test_two_stage_renders(self, workspace):
+        data, exp_path = workspace
+        ev = VaseEvaluator(exp_path, dataset_name="ccoimages_final",
+                           data_path=data, bbox_thr=0.0, max_dets=4,
+                           detector_config="faster_rcnn_tiny")
+        ev.load_vase_subset()
+        ev.setup_models(config_name="tiny", pretrained=None)
+        n = ev.qualitative_comparison(limit=1)
+        assert n == 1
+        pngs = os.listdir(ev.plots_path)
+        assert any("dets" in p for p in pngs)
+        assert any("poses" in p for p in pngs)
+
+    def test_process_image_contract(self, workspace, rng):
+        data, exp_path = workspace
+        ev = VaseEvaluator(exp_path, dataset_name="ccoimages_final",
+                           data_path=data, bbox_thr=0.0, max_dets=4,
+                           detector_config="faster_rcnn_tiny", save=False)
+        ev.load_vase_subset()
+        ev.setup_models(config_name="tiny", pretrained=None)
+        S = ev.det_cfg.image_size
+        res = ev.process_image(rng.rand(S, S, 3).astype(np.float32))
+        k = len(res["boxes"])
+        assert res["crop_keypoints"].shape == (k, 17, 3)
+        assert res["image_keypoints"].shape == (k, 17, 3)
+        if k:
+            assert np.isfinite(res["image_keypoints"]).all()
+
+
+class TestArchDataExtractor:
+    def test_extract_and_save_db(self, workspace, tmp_path):
+        data, exp_path = workspace
+        ex = ArchDataExtractor(exp_path, dataset_name="arch_data",
+                               data_path=data, num_workers=2)
+        ex.setup(config_name="tiny", pretrained=None)
+        db = ex.extract_retrieval_dataset()
+        assert len(db) == 4
+        item = db["img_0"]
+        assert item["joints"].shape == (17, 3)
+        # joints live in the 256x192 crop frame
+        assert 0 <= item["joints"][:, 0].max() <= 192
+        assert 0 <= item["joints"][:, 1].max() <= 256
+        assert item["character_name"] in ("Heracles", "satyr", "maenad")
+        path = ex.save_retrieval_db(root=str(tmp_path))
+        with open(path, "rb") as f:
+            loaded = pickle.load(f)
+        assert len(loaded) == 4
