@@ -81,6 +81,25 @@ class TestHRNetParity:
             np.testing.assert_array_equal(back[k], state[k])
 
 
+class TestFullW32Parity:
+    def test_w32_forward_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        from tests.torch_hrnet import TorchHRNet
+
+        cfg = get_hrnet_config("w32_256x192")
+        tm = TorchHRNet(cfg).eval()
+        state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = torch_statedict_to_flax(state)
+        model = PoseHighResolutionNet(config=cfg)
+        x = np.random.RandomState(0).randn(1, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          train=False)
+        got = np.asarray(out).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 class TestHRNetModel:
     def test_full_size_shapes(self):
         model = PoseHighResolutionNet(config=get_hrnet_config("tiny"))
