@@ -30,8 +30,17 @@ def main():
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
 
     model = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 256, 192, 3)), train=False)
+    # init on the CPU backend: avoids a ~2 min remote compile of the init
+    # program in a fresh process (per-session compile cache — CLAUDE.md)
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 256, 192, 3)), train=False)
+        variables = jax.device_put(variables, jax.devices()[0])
+    except Exception:
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 192, 3)), train=False)
 
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
     std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
