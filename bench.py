@@ -25,6 +25,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from stlpose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from stlpose_tpu.models import create_hrnet
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc

@@ -19,6 +19,8 @@ from stlpose_tpu.utils.logger import Logger, print_
 
 
 def main():
+    from stlpose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = process_create_experiment_arguments()
     overrides = {k: v for k, v in vars(args).items() if k != "exp_directory"}
     exp_path = create_experiment(args.exp_directory, overrides)

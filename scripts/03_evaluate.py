@@ -18,6 +18,8 @@ from stlpose_tpu.utils.logger import Logger, print_
 
 
 def main():
+    from stlpose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     exp_path, args = get_directory_argument(get_checkpoint=True,
                                             get_dataset=True)
     Logger(exp_path)

@@ -19,6 +19,8 @@ from stlpose_tpu.utils.logger import Logger, print_
 
 
 def main():
+    from stlpose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-d", "--exp_directory", required=True)
     p.add_argument("--checkpoint", default=None)

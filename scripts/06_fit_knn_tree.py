@@ -25,6 +25,8 @@ from stlpose_tpu.retrieval import (process_data, create_graph,
 
 
 def main():
+    from stlpose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--database_file", required=True,
                    help="pose database pickle (database_*.pkl)")

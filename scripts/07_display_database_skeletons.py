@@ -20,6 +20,8 @@ from stlpose_tpu.utils.visualization import draw_pose
 
 
 def main():
+    from stlpose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--database_file", required=True,
                    help="database name (database_{name}_{split}.pkl) or path")

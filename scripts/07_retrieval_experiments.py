@@ -18,6 +18,8 @@ from stlpose_tpu.engines.retrieval_db import RetrievalExperimenter
 
 
 def main():
+    from stlpose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-d", "--exp_directory", required=True,
                    help="directory where result JSONs are written")

@@ -22,6 +22,8 @@ from stlpose_tpu.utils.visualization import draw_pose
 
 
 def main():
+    from stlpose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--database_file", required=True)
     p.add_argument("--num_queries", type=int, default=5)
