@@ -1,96 +1,258 @@
 """Headline benchmark: HRNet-W32 256x192 pose-crop inference throughput on
 one TPU chip (BASELINE.md north star: >= 5,000 crops/sec/chip on v5e).
 
-Measures the full on-device inference pipeline — normalize (ImageNet stats
-on uint8 crops) + bf16 HRNet forward + heatmap decode to image-space
-keypoints. Timing protocol: the axon TPU tunnel used in this environment
-does NOT synchronize on ``block_until_ready`` (it returns at enqueue), so
-every timed iteration fetches a scalar derived from the outputs (forcing
-completion) and the measured per-call RPC latency is subtracted to report
-device-bound throughput. Prints ONE JSON line.
+Default mode measures the full serving pipeline on raw uint8 crops —
+normalize, bf16 HRNet forward with every BatchNorm pre-folded into the conv
+weights (models/hrnet.py::fold_batchnorms, an exact transform), heatmap
+decode to image-space keypoints — and prints ONE JSON line.
+
+Timing protocol: the axon TPU tunnel used in this environment does NOT
+synchronize on ``block_until_ready`` (it returns at enqueue), so each timed
+iteration's input depends on a scalar from the previous iteration's output
+(a device-side dependency chain) and ONE final fetch drains the whole
+chain; per-call RPC latency is amortized over ``--iters``, not subtracted.
+
+Other modes (written to BENCH_extra.json, one JSON line each to stdout):
+  --mode train   pose train-step throughput (samples/sec, full fwd+bwd+
+                 optimizer+PCK step from parallel/steps.py)
+  --mode tta     flip-TTA eval throughput (the 03_evaluate forward: doubled
+                 batch, TTA average, loss+PCK+decode)
+  --mode sweep   inference at each of --batches, reports the best
 """
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
+TARGET = 5000.0  # crops/sec/chip (BASELINE.json north star)
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--warmup", type=int, default=5)
-    args = ap.parse_args()
 
+def _setup():
     import jax
     from stlpose_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    import jax.numpy as jnp
-    from stlpose_tpu.models import create_hrnet
-    from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+    return jax
 
-    model = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
-    # init on the CPU backend: avoids a ~2 min remote compile of the init
-    # program in a fresh process (per-session compile cache — CLAUDE.md)
+
+def _init_variables(jax, model, shape):
+    """Init on the CPU backend: avoids a ~2 min remote compile of the init
+    program in a fresh process (per-session compile cache — CLAUDE.md)."""
+    import jax.numpy as jnp
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            variables = model.init(jax.random.PRNGKey(0),
-                                   jnp.zeros((1, 256, 192, 3)), train=False)
-        variables = jax.device_put(variables, jax.devices()[0])
+            v = model.init(jax.random.PRNGKey(0), jnp.zeros(shape),
+                           train=False)
+        return jax.device_put(v, jax.devices()[0])
     except Exception:
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 256, 192, 3)), train=False)
+        return model.init(jax.random.PRNGKey(0), jnp.zeros(shape),
+                          train=False)
 
-    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
-    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+
+def _chained_time(fn, args_fn, iters, warmup):
+    """Run ``iters`` chained executions; one fetch drains the chain."""
+    import jax.numpy as jnp
+    chain = jnp.zeros((), jnp.float32)
+    for _ in range(warmup):
+        chain = fn(*args_fn(chain))
+    float(chain)                        # drain warmup before timing
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        chain = fn(*args_fn(chain))
+    chk = float(chain)                  # one fetch drains the whole chain
+    total = time.perf_counter() - t0
+    return total / iters, chk
+
+
+def bench_infer(batch, iters, warmup, fold=True):
+    jax = _setup()
+    import jax.numpy as jnp
+    from stlpose_tpu.models import create_hrnet, fold_batchnorms
+    from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32) * 255.0
+    std = np.asarray([0.229, 0.224, 0.225], np.float32) * 255.0
+
+    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
+    variables = _init_variables(jax, base, (1, 256, 192, 3))
+    jmean = jnp.asarray(mean)
+    jstd = jnp.asarray(std)
+    if fold:
+        # serving configuration: every BN folded into conv weights — an
+        # EXACT transform (test_fold_bn.py); input normalization stays an
+        # explicit fused multiply-add (folding it into the stem conv has a
+        # zero-padding border deviation — see fold_input_normalization)
+        model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
+        variables = jax.device_put(fold_batchnorms(variables),
+                                   jax.devices()[0])
+    else:
+        model = base
 
     @jax.jit
     def infer(variables, crops_u8, centers, scales, chain):
-        # `chain` (a scalar from the previous step) feeds the input so
-        # successive steps form a true device-side dependency chain — the
-        # only reliable way to time K executions over an RPC tunnel whose
-        # block_until_ready does not wait for completion.
-        x = (crops_u8.astype(jnp.float32) - mean) / std + chain * 0.0
+        x = (crops_u8.astype(jnp.float32) - jmean) / jstd + chain * 0.0
         hm = model.apply(variables, x, train=False)
-        # decode in the model's NHWC layout (no transpose copy)
         preds, maxvals, _ = decode_heatmaps_nhwc(hm, centers, scales)
-        return preds, maxvals, jnp.sum(maxvals) + jnp.sum(preds)
+        return jnp.sum(maxvals) + jnp.sum(preds)
 
     rng = np.random.RandomState(0)
-    crops = jnp.asarray(rng.randint(0, 256, (args.batch, 256, 192, 3),
+    crops = jnp.asarray(rng.randint(0, 256, (batch, 256, 192, 3),
                                     dtype=np.uint8))
-    centers = jnp.asarray(rng.uniform(100, 400, (args.batch, 2)),
-                          jnp.float32)
-    scales = jnp.ones((args.batch, 2), jnp.float32)
+    centers = jnp.asarray(rng.uniform(100, 400, (batch, 2)), jnp.float32)
+    scales = jnp.ones((batch, 2), jnp.float32)
+
+    per_iter, chk = _chained_time(
+        infer, lambda c: (variables, crops, centers, scales, c),
+        iters, warmup)
+    return {"metric": "hrnet_w32_256x192_inference_throughput",
+            "value": round(batch / per_iter, 1),
+            "unit": "crops/sec/chip",
+            "vs_baseline": round(batch / per_iter / TARGET, 3),
+            "detail": {"batch": batch, "folded_bn": fold,
+                       "ms_per_iter": round(per_iter * 1000, 2),
+                       "iters": iters, "checksum": round(chk, 2)}}
+
+
+def bench_tta(batch, iters, warmup):
+    """Flip-TTA eval forward (doubled batch, TTA average, NHWC decode)."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from stlpose_tpu.models import create_hrnet, fold_batchnorms
+    from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+    from stlpose_tpu.ops.flip import average_flip_tta_nhwc
+
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
+    variables = _init_variables(jax, base, (1, 256, 192, 3))
+    model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
+    variables = jax.device_put(fold_batchnorms(variables), jax.devices()[0])
+
+    @jax.jit
+    def infer(variables, crops_u8, centers, scales, chain):
+        x = (crops_u8.astype(jnp.float32) - mean) / std + chain * 0.0
+        n = x.shape[0]
+        both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+        out = model.apply(variables, both, train=False)
+        hm = average_flip_tta_nhwc(out[:n], out[n:])
+        preds, maxvals, _ = decode_heatmaps_nhwc(hm, centers, scales)
+        return jnp.sum(maxvals) + jnp.sum(preds)
+
+    rng = np.random.RandomState(0)
+    crops = jnp.asarray(rng.randint(0, 256, (batch, 256, 192, 3),
+                                    dtype=np.uint8))
+    centers = jnp.asarray(rng.uniform(100, 400, (batch, 2)), jnp.float32)
+    scales = jnp.ones((batch, 2), jnp.float32)
+    per_iter, chk = _chained_time(
+        infer, lambda c: (variables, crops, centers, scales, c),
+        iters, warmup)
+    return {"metric": "hrnet_w32_flip_tta_eval_throughput",
+            "value": round(batch / per_iter, 1),
+            "unit": "crops/sec/chip",
+            "vs_baseline": round(batch / per_iter / TARGET, 3),
+            "detail": {"batch": batch,
+                       "ms_per_iter": round(per_iter * 1000, 2),
+                       "iters": iters, "checksum": round(chk, 2)}}
+
+
+def bench_train(batch, iters, warmup):
+    """Full pose train step (fwd+bwd+Adam+BN update+PCK) samples/sec."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from stlpose_tpu.config import default_experiment_args
+    from stlpose_tpu.models import create_hrnet
+    from stlpose_tpu.parallel import get_mesh, shard_batch, make_train_step
+    from stlpose_tpu.train import create_train_state
+
+    model = create_hrnet("w32_256x192")
+    exp = default_experiment_args()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state, tx = create_train_state(model, exp, jax.random.PRNGKey(0),
+                                       (1, 256, 192, 3))
+    state = jax.device_put(state, jax.devices()[0])
+    mesh = get_mesh(1)
+    step = make_train_step(model, tx, mesh)
+
+    rng = np.random.RandomState(0)
+    base = {
+        "target": jnp.asarray(rng.rand(batch, 17, 64, 48).astype(np.float32)),
+        "target_weight": jnp.ones((batch, 17), jnp.float32),
+        "perceptual_loss": jnp.zeros((batch,), jnp.float32)}
+    img = jnp.asarray(rng.randn(batch, 256, 192, 3).astype(np.float32))
+
+    @jax.jit
+    def chain_img(img, chain):
+        return img + chain * 0.0
+
+    # The step donates and returns `state`, so successive steps are already
+    # device-chained through the parameters; additionally feeding the
+    # previous loss into the next image makes the timing fetch-safe under
+    # the tunnel (one drain at the end, like the inference protocol).
+    def one(state, chain):
+        batch_d = dict(base)
+        batch_d["image"] = chain_img(img, chain)
+        state, metrics = step(state, shard_batch(mesh, batch_d))
+        return state, metrics["loss"]
 
     chain = jnp.zeros((), jnp.float32)
-    for _ in range(args.warmup):
-        _, _, chain = infer(variables, crops, centers, scales, chain)
-    end_to_end0 = time.perf_counter()
-    float(chain)                        # drain the warmup chain
-    latency_est = time.perf_counter() - end_to_end0
-
+    for _ in range(warmup):
+        state, chain = one(state, chain)
+    float(chain)                        # drain warmup before timing
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        _, _, chain = infer(variables, crops, centers, scales, chain)
+    for _ in range(iters):
+        state, chain = one(state, chain)
     chk = float(chain)                  # one fetch drains the whole chain
-    total = time.perf_counter() - t0
-    per_iter = total / args.iters
+    per_iter = (time.perf_counter() - t0) / iters
+    return {"metric": "hrnet_w32_train_step_throughput",
+            "value": round(batch / per_iter, 1),
+            "unit": "samples/sec/chip",
+            "vs_baseline": None,
+            "detail": {"batch": batch,
+                       "ms_per_iter": round(per_iter * 1000, 2),
+                       "iters": iters, "loss": round(chk, 4)}}
 
-    crops_per_sec = args.batch / per_iter
-    target = 5000.0
-    print(json.dumps({
-        "metric": "hrnet_w32_256x192_inference_throughput",
-        "value": round(crops_per_sec, 1),
-        "unit": "crops/sec/chip",
-        "vs_baseline": round(crops_per_sec / target, 3),
-        "detail": {"batch": args.batch,
-                   "ms_per_iter": round(per_iter * 1000, 2),
-                   "iters": args.iters, "checksum": round(chk, 2)},
-    }))
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="infer",
+                    choices=["infer", "train", "tta", "sweep"])
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batches", default="256,512,1024")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--no-fold", action="store_true",
+                    help="disable BN/input-norm folding (parity path)")
+    args = ap.parse_args()
+
+    if args.mode == "infer":
+        result = bench_infer(args.batch, args.iters, args.warmup,
+                             fold=not args.no_fold)
+    elif args.mode == "tta":
+        result = bench_tta(args.batch, args.iters, args.warmup)
+    elif args.mode == "train":
+        result = bench_train(min(args.batch, 128), args.iters, args.warmup)
+    else:  # sweep
+        runs = [bench_infer(int(b), args.iters, args.warmup)
+                for b in args.batches.split(",")]
+        result = max(runs, key=lambda r: r["value"])
+        result["detail"]["sweep"] = {str(r["detail"]["batch"]): r["value"]
+                                     for r in runs}
+
+    if args.mode != "infer":
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_extra.json")
+        blob = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                blob = json.load(f)
+        blob[result["metric"]] = result
+        with open(path, "w") as f:
+            json.dump(blob, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -5,4 +5,6 @@ NHWC layouts, bf16-friendly compute, static shapes, and no data-dependent
 Python control flow under jit.
 """
 
-from stlpose_tpu.models.hrnet import PoseHighResolutionNet, create_hrnet
+from stlpose_tpu.models.hrnet import (PoseHighResolutionNet, create_hrnet,
+                                      fold_batchnorms,
+                                      fold_input_normalization)
