@@ -154,7 +154,9 @@ class DetectorTrainer:
 
     # ------------------------------------------------------------- epochs
     def train_epoch(self, epoch: int) -> float:
-        losses = []
+        from stlpose_tpu.parallel import MetricAccumulator
+
+        acc = MetricAccumulator(finite_only=("loss",))
         for batch in self.train_pipe:
             self._rng, step_rng = jax.random.split(self._rng)
             dev = shard_batch(self.mesh, {
@@ -162,10 +164,11 @@ class DetectorTrainer:
                 "labels": batch["labels"], "box_mask": batch["box_mask"],
                 "perceptual_loss": batch["perceptual_loss"]})
             self.state, metrics = self.train_step(self.state, dev, step_rng)
-            losses.append(metrics["loss"])
-        vals = [float(l) for l in losses]
-        finite = [v for v in vals if np.isfinite(v)]
-        loss = float(np.mean(finite)) if finite else float("nan")
+            acc.update(metrics)                 # device-side; no host sync
+        stats = acc.fetch()                     # ONE fetch per train epoch
+        # nan when no batch produced a finite loss (reference returns nan
+        # after skipping every batch, 02_train_faster_rcnn.py:221-223)
+        loss = stats["loss_mean"] if stats.get("loss_n") else float("nan")
         print_(f"Detector train loss: {loss}")
         return loss
 

@@ -126,23 +126,18 @@ class PoseEvaluator:
                 labels_file = records_to_coco_gt(self.valid_pipe.records)
         reset_predictions_file(self.exp_path)
 
-        losses, hits, cnts = [], 0.0, 0.0
+        from stlpose_tpu.parallel import MetricAccumulator
+        acc = MetricAccumulator()
         all_preds, all_boxes, image_ids = [], [], []
         since_write = 0
-        for batch in self.valid_pipe:
-            dev = shard_batch(self.mesh, {
-                "image": batch["image"], "target": batch["target"],
-                "target_weight": batch["target_weight"],
-                "center": jnp.asarray(batch["center"]),
-                "scale": jnp.asarray(batch["scale"])})
-            # ONE fused program: flip-TTA forward + loss + PCK + decode
-            preds, metrics = self.eval_decode(self.state, dev)
-            losses.append(float(metrics["loss"]))
-            hits += float(metrics["pck_hit"])
-            cnts += float(metrics["pck_cnt"])
 
+        def consume(preds_dev, batch):
+            """Host-side accumulation of one batch's decoded keypoints.
+            Runs AFTER the next batch is already enqueued, so this D2H
+            fetch overlaps the next forward (1-deep pipelining)."""
+            nonlocal all_preds, all_boxes, image_ids, since_write
             n = batch["n_valid"]
-            preds = np.asarray(preds)[:n]
+            preds = np.asarray(preds_dev)[:n]
             if self.save_visualizations and self._n_vis < \
                     self.max_visualizations:
                 self._dump_visualizations(batch, preds)
@@ -160,11 +155,30 @@ class PoseEvaluator:
                 all_preds, all_boxes, image_ids = [], [], []
                 since_write = 0
 
+        pending = None
+        for batch in self.valid_pipe:
+            dev = shard_batch(self.mesh, {
+                "image": batch["image"], "target": batch["target"],
+                "target_weight": batch["target_weight"],
+                "center": jnp.asarray(batch["center"]),
+                "scale": jnp.asarray(batch["scale"])})
+            # ONE fused program: flip-TTA forward + loss + PCK + decode
+            preds, metrics = self.eval_decode(self.state, dev)
+            acc.update(metrics)                 # device-side; no host sync
+            if pending is not None:
+                consume(*pending)
+            pending = (preds, batch)
+        if pending is not None:
+            consume(*pending)
+
         if image_ids:
             self._flush(all_preds, all_boxes, image_ids)
 
-        self.valid_loss = float(np.mean(losses)) if losses else 0.0
-        self.valid_acc = hits / cnts if cnts else 0.0
+        stats = acc.fetch()                     # ONE metrics fetch total
+        self.valid_loss = stats.get("loss_mean", 0.0)
+        self.valid_acc = (stats.get("pck_hit_sum", 0.0) /
+                          stats["pck_cnt_sum"]
+                          if stats.get("pck_cnt_sum") else 0.0)
         print_(f"Eval Loss: {self.valid_loss}  PCK: {self.valid_acc}")
 
         stats = compute_precision(self.preds_file, labels_file)

@@ -18,13 +18,12 @@ from __future__ import annotations
 import os
 
 import jax
-import numpy as np
 
 from stlpose_tpu.config import CONFIG, get_hrnet_config
 from stlpose_tpu.data.loaders import load_dataset
 from stlpose_tpu.models import PoseHighResolutionNet
 from stlpose_tpu.parallel import (get_mesh, shard_batch, make_train_step,
-                                  make_eval_step)
+                                  make_eval_step, MetricAccumulator)
 from stlpose_tpu.train import create_train_state, load_perceptual_loss_dict
 from stlpose_tpu.train.optim import (build_scheduler, get_current_lr,
                                      set_current_lr, PlateauScheduler,
@@ -122,49 +121,55 @@ class PoseTrainer:
 
     # ------------------------------------------------------------ epochs
     def _run_valid_epoch(self, epoch: int) -> tuple[float, float]:
-        losses, hits, cnts = [], 0.0, 0.0
+        acc = MetricAccumulator()
         limit = max(1, len(self.valid_pipe) // 5)   # 1/5 of val loader
         for i, batch in enumerate(self.valid_pipe):
             if i >= limit:
                 break
             dev = shard_batch(self.mesh, self._step_view(batch))
             _, metrics = self.eval_step(self.state, dev)
-            losses.append(float(metrics["loss"]))
-            hits += float(metrics["pck_hit"])
-            cnts += float(metrics["pck_cnt"])
-        loss = float(np.mean(losses)) if losses else 0.0
-        acc = hits / cnts if cnts else 0.0
+            acc.update(metrics)                 # device-side; no host sync
+        stats = acc.fetch()                     # ONE fetch per valid epoch
+        loss = stats.get("loss_mean", 0.0)
+        pck = (stats.get("pck_hit_sum", 0.0) / stats["pck_cnt_sum"]
+               if stats.get("pck_cnt_sum") else 0.0)
         print_(f"Valid Loss: {loss}")
-        print_(f"Valid Accuracy: {acc}")
-        return loss, acc
+        print_(f"Valid Accuracy: {pck}")
+        return loss, pck
 
     def _run_train_epoch(self, epoch: int) -> tuple[float, float]:
         from stlpose_tpu.utils.profiling import StepTimer, save_timing
 
-        losses, hits, cnts = [], 0.0, 0.0
+        acc = MetricAccumulator()
         timer = StepTimer()
+        log_freq = self.exp_data["training"].get("log_frequency", 100)
+        prev = {"n": 0.0, "loss_sum": 0.0}       # last fetched window
         for batch in self.train_pipe:
             dev = shard_batch(self.mesh, self._step_view(batch))
             self.state, metrics = self.train_step(self.state, dev)
             timer.tick(batch["image"].shape[0])
-            losses.append(metrics["loss"])    # device scalars; fetch lazily
-            hits += float(metrics["pck_hit"])
-            cnts += float(metrics["pck_cnt"])
+            acc.update(metrics)                 # device-side; no host sync
             self.iterations += 1
-            if (self.writer is not None and
-                    self.iterations %
-                    self.exp_data["training"].get("log_frequency", 100) == 0):
-                self.writer.add_scalar("pose_train/loss",
-                                       float(np.mean([float(l) for l in
-                                                      losses[-50:]])),
-                                       global_step=self.iterations)
-        loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
-        acc = hits / cnts if cnts else 0.0
+            if self.writer is not None and self.iterations % log_freq == 0:
+                # one fetch per logging window: windowed mean from the
+                # accumulator delta
+                snap = acc.fetch()
+                dn = snap["n"] - prev["n"]
+                if dn > 0:
+                    self.writer.add_scalar(
+                        "pose_train/loss",
+                        (snap["loss_sum"] - prev["loss_sum"]) / dn,
+                        global_step=self.iterations)
+                prev = snap
+        stats = acc.fetch()                     # ONE fetch per train epoch
+        loss = stats.get("loss_mean", 0.0)
+        pck = (stats.get("pck_hit_sum", 0.0) / stats["pck_cnt_sum"]
+               if stats.get("pck_cnt_sum") else 0.0)
         save_timing(self.exp_path, "train_epoch", timer.stats())
         print_(f"Train Loss: {loss}  "
                f"({timer.stats()['examples_per_sec']} ex/s)")
-        print_(f"Train Accuracy: {acc}")
-        return loss, acc
+        print_(f"Train Accuracy: {pck}")
+        return loss, pck
 
     @staticmethod
     def _step_view(batch):

@@ -11,4 +11,4 @@ the same shardings (collectives ride ICI within a slice, DCN across).
 from stlpose_tpu.parallel.mesh import (get_mesh, data_sharding,
                                        replicated_sharding, shard_batch)
 from stlpose_tpu.parallel.steps import (make_train_step, make_eval_step,
-                                        make_infer_fn)
+                                        make_infer_fn, MetricAccumulator)

@@ -45,6 +45,75 @@ def _pck_from_heatmaps(pred_njhw, target_njhw, thr=0.5):
     return hit, cnt
 
 
+@jax.jit
+def _accum_metrics(sums, metrics):
+    """One fused device-side add of a step's metric scalars into running
+    sums. Keys present in ``sums`` as ``_<k>_finite`` get a non-finite
+    guard (non-finite values are skipped and the finite count tracked),
+    mirroring the reference's skip-batch-on-nan behavior
+    (02_train_faster_rcnn.py:221-223) without a host sync."""
+    out = {"_n": sums["_n"] + 1.0}
+    for k, v in metrics.items():
+        v = jnp.asarray(v, jnp.float32)
+        fk = f"_{k}_finite"
+        if fk in sums:
+            ok = jnp.isfinite(v)
+            out[k] = sums[k] + jnp.where(ok, v, 0.0)
+            out[fk] = sums[fk] + ok.astype(jnp.float32)
+        else:
+            out[k] = sums[k] + v
+    return out
+
+
+class MetricAccumulator:
+    """Device-side metric accumulation for engine hot loops.
+
+    The reference fetches loss/PCK to the host every batch
+    (02_train.py:223); under an RPC-tunneled TPU each fetch is a ~30 ms
+    blocking round trip. Here ``update`` enqueues ONE tiny jitted add per
+    step (no host sync) and ``fetch`` transfers the handful of running sums
+    exactly once — per epoch or per logging window.
+
+    ``fetch`` returns ``{"n": steps, "<k>_sum": float, "<k>_mean": float}``
+    per metric key; for keys named in ``finite_only`` the mean is over
+    finite steps only.
+    """
+
+    def __init__(self, finite_only: tuple = ()):
+        self._sums = None
+        self._finite_only = tuple(finite_only)
+
+    def update(self, metrics: dict) -> None:
+        if self._sums is None:
+            z = jnp.zeros((), jnp.float32)
+            self._sums = {"_n": z}
+            for k in metrics:
+                self._sums[k] = z
+                if k in self._finite_only:
+                    self._sums[f"_{k}_finite"] = z
+        self._sums = _accum_metrics(self._sums, metrics)
+
+    @property
+    def empty(self) -> bool:
+        return self._sums is None
+
+    def fetch(self) -> dict:
+        """ONE host transfer of the running sums."""
+        if self._sums is None:
+            return {"n": 0.0}
+        host = jax.device_get(self._sums)
+        n = float(host["_n"])
+        out = {"n": n}
+        for k, v in host.items():
+            if k.startswith("_"):
+                continue
+            denom = float(host.get(f"_{k}_finite", n))
+            out[f"{k}_sum"] = float(v)
+            out[f"{k}_n"] = denom
+            out[f"{k}_mean"] = float(v) / denom if denom else 0.0
+        return out
+
+
 def make_train_step(model, tx, mesh, perceptual_cfg: dict | None = None,
                     donate: bool = True) -> Callable:
     """Build the compiled train step.
