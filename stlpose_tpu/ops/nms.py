@@ -21,7 +21,16 @@ def oks_iou(g, d, a_g, a_d, sigmas=None, in_vis_thre=None):
     """OKS between one pose ``g`` (51,) and poses ``d`` (M, 51).
 
     Vectorized over both candidates and keypoints; numerically identical to
-    the reference loop (lib/nms.py:49-74).
+    the reference loop (lib/nms.py:49-74) on the live path
+    (``in_vis_thre=None``, which every in-repo caller uses).
+
+    Deliberate deviation: with ``in_vis_thre`` set, the reference computes
+    ``list(vg > t) and list(vd > t)`` — a Python ``and`` of two lists that
+    evaluates to the *det-only* mask, ignoring GT visibility. This version
+    applies the true elementwise gt&det AND and averages over the masked
+    count, i.e. it implements what that branch plainly intended rather than
+    replicating the defect (ADVICE r1; defect catalogued in SURVEY §2.10
+    spirit).
     """
     if sigmas is None:
         sigmas = constants.OKS_SIGMAS

@@ -41,28 +41,38 @@ def roi_align_single_level(features, boxes, output_size: int = 7,
     # (P, out*sr) absolute coords
     xs = x1[:, None] + pos.reshape(-1)[None, :] * bin_w[:, None]
     ys = y1[:, None] + pos.reshape(-1)[None, :] * bin_h[:, None]
-    # torchvision samples at coord - 0.5 when aligned=True; classic variant
-    # samples raw continuous coords. Use the aligned=False (classic) grid.
+    # aligned=False bilinear grid: the continuous coordinate IS the array
+    # index (a pixel's value sits at integer index, no half-pixel shift).
+    # torchvision's aligned=True variant would shift the roi start by -0.5;
+    # the reference's detector uses aligned=False, so match that exactly
+    # for imported-weight parity (ADVICE r1).
 
     def sample_one(xv, yv):
-        """Bilinear sample (n,) coords each axis -> (ny, nx, C)."""
+        """Bilinear sample (n,) coords each axis -> (ny, nx, C).
+
+        Boundary semantics match torchvision's bilinear_interpolate:
+        a point strictly outside (-1, size) contributes 0; coords in
+        [-1, 0] clamp to 0; the high tap clamps to the last index.
+        """
         gx, gy = jnp.meshgrid(xv, yv)           # (ny, nx)
-        x0 = jnp.floor(gx - 0.5)
-        y0 = jnp.floor(gy - 0.5)
-        fx = (gx - 0.5) - x0
-        fy = (gy - 0.5) - y0
+        inside = (gx > -1.0) & (gx < W) & (gy > -1.0) & (gy < H)
+        gx = jnp.clip(gx, 0.0, W - 1)
+        gy = jnp.clip(gy, 0.0, H - 1)
+        x0 = jnp.floor(gx)
+        y0 = jnp.floor(gy)
+        fx = gx - x0
+        fy = gy - y0
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
 
         def tap(yi, xi):
-            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-            v = features[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
-            return jnp.where(valid[..., None], v, 0.0)
+            return features[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
 
-        return (tap(y0i, x0i) * ((1 - fx) * (1 - fy))[..., None] +
-                tap(y0i, x0i + 1) * (fx * (1 - fy))[..., None] +
-                tap(y0i + 1, x0i) * ((1 - fx) * fy)[..., None] +
-                tap(y0i + 1, x0i + 1) * (fx * fy)[..., None])
+        v = (tap(y0i, x0i) * ((1 - fx) * (1 - fy))[..., None] +
+             tap(y0i, x0i + 1) * (fx * (1 - fy))[..., None] +
+             tap(y0i + 1, x0i) * ((1 - fx) * fy)[..., None] +
+             tap(y0i + 1, x0i + 1) * (fx * fy)[..., None])
+        return jnp.where(inside[..., None], v, 0.0)
 
     samples = jax.vmap(sample_one)(xs, ys)      # (P, n, n, C)
     n = output_size

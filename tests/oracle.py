@@ -84,3 +84,55 @@ def get_final_preds_np(heatmaps, center, scale):
             pt = np.array([coords[i, p, 0], coords[i, p, 1], 1.0])
             preds[i, p] = (trans @ pt)[:2]
     return preds, maxvals, coords
+
+
+def _bilinear_tv(feat, y, x):
+    """torchvision bilinear_interpolate semantics (aligned=False path):
+    zero strictly outside (-1, size); coords in [-1, 0] clamp to 0; the
+    high tap clamps to the last index (torchvision
+    csrc/ops/cpu/roi_align_kernel.cpp)."""
+    H, W = feat.shape[:2]
+    if y < -1.0 or y > H or x < -1.0 or x > W:
+        return np.zeros(feat.shape[2:], feat.dtype)
+    y = max(y, 0.0)
+    x = max(x, 0.0)
+    y0, x0 = int(y), int(x)
+    y1 = min(y0 + 1, H - 1)
+    x1 = min(x0 + 1, W - 1)
+    if y0 >= H - 1:
+        y0 = y1 = H - 1
+        y = float(y0)
+    if x0 >= W - 1:
+        x0 = x1 = W - 1
+        x = float(x0)
+    ly, lx = y - y0, x - x0
+    return (feat[y0, x0] * (1 - ly) * (1 - lx) +
+            feat[y0, x1] * (1 - ly) * lx +
+            feat[y1, x0] * ly * (1 - lx) +
+            feat[y1, x1] * ly * lx)
+
+
+def roi_align_oracle(feat, boxes, output_size, sampling_ratio,
+                     spatial_scale=1.0):
+    """Loop-form torchvision roi_align (aligned=False) over one (H, W, C)
+    map — golden oracle for ops/roi_align.py."""
+    P = boxes.shape[0]
+    C = feat.shape[2]
+    out = np.zeros((P, output_size, output_size, C), np.float32)
+    for p in range(P):
+        x1, y1, x2, y2 = boxes[p] * spatial_scale
+        roi_w = max(x2 - x1, 1.0)
+        roi_h = max(y2 - y1, 1.0)
+        bin_w = roi_w / output_size
+        bin_h = roi_h / output_size
+        for ph in range(output_size):
+            for pw in range(output_size):
+                acc = np.zeros(C, np.float32)
+                for iy in range(sampling_ratio):
+                    yy = y1 + ph * bin_h + (iy + 0.5) * bin_h / sampling_ratio
+                    for ix in range(sampling_ratio):
+                        xx = (x1 + pw * bin_w +
+                              (ix + 0.5) * bin_w / sampling_ratio)
+                        acc += _bilinear_tv(feat, yy, xx)
+                out[p, ph, pw] = acc / (sampling_ratio ** 2)
+    return out

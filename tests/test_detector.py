@@ -61,10 +61,28 @@ class TestRoIAlign:
         boxes = jnp.asarray([[8.0, 8.0, 24.0, 24.0]])
         out = np.asarray(roi_align_single_level(feat, boxes, output_size=4,
                                                 sampling_ratio=2))[0, :, :, 0]
-        # bin k covers x in [8+4k, 12+4k]; mean sample position = 10+4k,
-        # sampled value = x - 0.5 (pixel-center convention)
-        expected = np.array([9.5, 13.5, 17.5, 21.5])
+        # bin k covers x in [8+4k, 12+4k]; mean sample position = 10+4k;
+        # aligned=False samples the array index directly, so value = x
+        expected = np.array([10.0, 14.0, 18.0, 22.0])
         np.testing.assert_allclose(out.mean(axis=0), expected, atol=0.1)
+
+    def test_matches_torchvision_semantics_oracle(self, rng):
+        from tests.oracle import roi_align_oracle
+
+        H, W, C = 20, 24, 3
+        feat = rng.randn(H, W, C).astype(np.float32)
+        boxes = np.stack([
+            rng.uniform(-2, W - 4, 12), rng.uniform(-2, H - 4, 12),
+            rng.uniform(2, W + 2, 12), rng.uniform(2, H + 2, 12)],
+            axis=1).astype(np.float32)
+        boxes[:, 2] = np.maximum(boxes[:, 2], boxes[:, 0] + 0.5)
+        boxes[:, 3] = np.maximum(boxes[:, 3], boxes[:, 1] + 0.5)
+        got = np.asarray(roi_align_single_level(
+            jnp.asarray(feat), jnp.asarray(boxes), output_size=5,
+            sampling_ratio=2, spatial_scale=0.5))
+        want = roi_align_oracle(feat, boxes, output_size=5,
+                                sampling_ratio=2, spatial_scale=0.5)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 class TestAnchorsMatching:
