@@ -24,20 +24,38 @@ def initialize_distributed(coordinator_address: str | None = None,
     """Bring up the JAX distributed runtime when running multi-host.
 
     With no arguments, relies on TPU pod environment auto-detection; on a
-    single host (no coordinator found) it is a no-op.
+    single host (no coordinator env present) it is a no-op.
+
+    Failure policy (VERDICT r1): when a coordinator was EXPLICITLY
+    requested — via argument or via a coordinator env var — initialization
+    errors re-raise, so a misconfigured pod run fails loudly instead of
+    silently degrading to single-host training.
     """
-    if jax.process_count() > 1:
+    import os
+
+    # NB: must not touch the backend (jax.process_count/jax.devices) before
+    # jax.distributed.initialize — backend init forecloses distributed init.
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
         return  # already initialized
+    env_coord = next((k for k in ("COORDINATOR_ADDRESS",
+                                  "MEGASCALE_COORDINATOR_ADDRESS",
+                                  "TPU_WORKER_HOSTNAMES")
+                      if k in os.environ), None)
+    if coordinator_address is None and env_coord is None:
+        return  # single host: nothing requested, nothing to do
     try:
         if coordinator_address is not None:
             jax.distributed.initialize(coordinator_address,
                                        num_processes, process_id)
-        elif any(k in __import__("os").environ
-                 for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
-                           "TPU_WORKER_HOSTNAMES")):
+        else:
             jax.distributed.initialize()
-    except Exception:
-        pass  # single host
+    except Exception as e:
+        src = (f"coordinator_address={coordinator_address!r}"
+               if coordinator_address is not None else f"env {env_coord}")
+        raise RuntimeError(
+            f"jax.distributed.initialize failed for explicitly requested "
+            f"multi-host setup ({src}); refusing to silently fall back to "
+            f"single-host training") from e
 
 
 def process_count() -> int:
