@@ -182,9 +182,15 @@ class TestFasterRCNN:
 
 
 class TestDetectorEngine:
-    def test_train_and_eval_flow(self, tmp_path, rng):
-        from stlpose_tpu.engines.detector_trainer import (DetectorTrainer,
-                                                          DETECTOR_CONFIGS)
+    @pytest.mark.parametrize("family", ["faster_rcnn_tiny",
+                                        "efficientdet_tiny"])
+    def test_ap_plateau_training_loop(self, tmp_path, rng, family):
+        """3-epoch train -> AP-validate -> plateau-on-AP cycle for BOTH
+        detector families (VERDICT r1 item 9; reference loop:
+        02_train_faster_rcnn.py:153-158,241-280)."""
+        from stlpose_tpu.engines.detector_trainer import DetectorTrainer
+        from stlpose_tpu.train.optim import (get_current_lr,
+                                             PlateauScheduler)
         from stlpose_tpu.utils.experiment import create_experiment
         from tests.fixtures import make_coco_dataset
         import json, os
@@ -192,15 +198,29 @@ class TestDetectorEngine:
         data = tmp_path / "data"
         make_coco_dataset(str(data), n_train=4, n_val=2, img_hw=(128, 160))
         exp_path = create_experiment(
-            "det", {"batch_size": 2, "num_epochs": 1, "save_frequency": 1},
+            "det", {"batch_size": 2, "num_epochs": 3, "save_frequency": 1,
+                    "patience": 0, "learning_rate_factor": 0.5,
+                    "learning_rate": 1e-3},
             root=str(tmp_path / "exp"))
         tr = DetectorTrainer(exp_path, data_path=str(data), num_workers=2,
-                             detector_config="faster_rcnn_tiny")
+                             detector_config=family)
         tr.load_dataset()
         tr.setup_model()
         tr.training_loop()
+
         logs = json.load(open(os.path.join(exp_path, "detector_logs.json")))
-        assert len(logs["train_loss"]) == 1
-        assert np.isfinite(logs["train_loss"][0])
+        assert len(logs["train_loss"]) == 3
+        assert all(np.isfinite(v) for v in logs["train_loss"])
+        # AP computed every epoch (COCO stat: -1 when undefined, else [0,1])
+        assert len(logs["valid_ap"]) == 3
+        assert all(-1.0 <= v <= 1.0 for v in logs["valid_ap"])
         det_ckpts = os.listdir(os.path.join(exp_path, "models", "detector"))
         assert any("final" in c for c in det_ckpts)
+
+        # plateau-on-AP (mode max, patience 0): the live LR must equal a
+        # replay of the scheduler over the recorded AP trajectory
+        sim = PlateauScheduler(factor=0.5, patience=0)
+        lr = 1e-3
+        for ap in logs["valid_ap"]:
+            lr = sim.step(ap, lr)
+        assert get_current_lr(tr.state.opt_state) == pytest.approx(lr)
