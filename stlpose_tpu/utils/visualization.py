@@ -150,6 +150,91 @@ def visualize_heatmaps(heatmaps, n_cols: int = 6, savepath=None):
     return fig
 
 
+def visualize_subset_heatmaps(images, heatmaps, n: int = 3, savepath=None):
+    """Image / keypoint-map / overlay debug grid for the legacy full-image
+    heatmaps (reference: lib/visualizations.py:249-289, which renders the
+    inverted background channel of data_processing.generate_heatmaps).
+
+    Args:
+      images: (N, H, W, 3) float or uint8 images (NHWC — our convention;
+        the reference took normalized BGR NCHW tensors).
+      heatmaps: (N, K+1, H, W) from legacy_openpose.generate_heatmaps.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    images = np.asarray(images)
+    heatmaps = np.asarray(heatmaps)
+    n = min(n, images.shape[0])
+    fig, axes = plt.subplots(n, 3, figsize=(9, 3 * n), squeeze=False)
+    for i in range(n):
+        img = _to_uint8(images[i])
+        kpt_map = 1.0 - heatmaps[i, -1]          # invert the background ch
+        axes[i][0].imshow(img)
+        axes[i][0].set_title("Original Image", fontsize=8)
+        axes[i][1].imshow(kpt_map * 255.0)
+        axes[i][1].set_title("Keypoint Maps", fontsize=8)
+        overlay = img.astype(np.float32) * 0.5 + (kpt_map * 255.0)[..., None]
+        axes[i][2].imshow(np.clip(overlay, 0, 255).astype(np.uint8))
+        axes[i][2].set_title("Overlay", fontsize=8)
+        for ax in axes[i]:
+            ax.axis("off")
+    fig.tight_layout()
+    if savepath:
+        fig.savefig(savepath, bbox_inches="tight", pad_inches=0)
+        _close(fig)
+    return fig
+
+
+def visualize_subset_pafs(images, pafs, channels=(0, 4, 8), n: int = 3,
+                          savepath=None):
+    """Image / PAF-magnitude / red-overlay debug grid for the legacy Part
+    Affinity Fields (reference: lib/visualizations.py:292-335, which sums
+    |paf| over a fixed channel subset and paints hit pixels red).
+
+    Args:
+      images: (N, H, W, 3) images (NHWC).
+      pafs: (N, 2L, H, W) from legacy_openpose.generate_pafs.
+      channels: paf channels summed for the display (reference: 0, 4, 8).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    images = np.asarray(images)
+    pafs = np.asarray(pafs)
+    n = min(n, images.shape[0])
+    fig, axes = plt.subplots(n, 3, figsize=(9, 3 * n), squeeze=False)
+    for i in range(n):
+        img = _to_uint8(images[i])
+        mag = np.sum([np.abs(pafs[i, c]) for c in channels], axis=0)
+        axes[i][0].imshow(img)
+        axes[i][0].set_title("Original Image", fontsize=8)
+        axes[i][1].imshow(np.clip(mag * 1000.0, 0, 255).astype(np.uint8))
+        axes[i][1].set_title("PAFs", fontsize=8)
+        overlay = img.copy()
+        overlay[mag > 0] = (255, 0, 0)
+        axes[i][2].imshow(overlay)
+        axes[i][2].set_title("Overlay", fontsize=8)
+        for ax in axes[i]:
+            ax.axis("off")
+    fig.tight_layout()
+    if savepath:
+        fig.savefig(savepath, bbox_inches="tight")
+        _close(fig)
+    return fig
+
+
+def _to_uint8(img):
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img.copy()
+    if img.max() <= 1.5:                         # normalized-ish floats
+        img = img * 255.0
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
 def _close(fig):
     import matplotlib.pyplot as plt
     plt.close(fig)

@@ -136,3 +136,96 @@ def roi_align_oracle(feat, boxes, output_size, sampling_ratio,
                         acc += _bilinear_tv(feat, yy, xx)
                 out[p, ph, pw] = acc / (sampling_ratio ** 2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Legacy OpenPose generators (reference: data/data_processing.py:180-397):
+# literal windowed-loop re-implementations used as golden oracles for
+# stlpose_tpu/data/legacy_openpose.py.
+# ---------------------------------------------------------------------------
+
+def _openpose_kernel(sigma):
+    ax = np.arange(0, 15) - 7
+    xx, yy = np.meshgrid(ax, ax)
+    return np.exp(-(np.square(xx) + np.square(yy)) / np.square(sigma))
+
+
+def _add_gaussian_ref(shape, x, y, sigma):
+    """reference: data_processing.py:254-291 (fresh map per call)."""
+    kernel = _openpose_kernel(sigma)
+    out = np.zeros(shape)
+    min_y = max(y - 7, 0)
+    off_min_y = abs(y - 7 - min_y)
+    max_y = min(y + 8, shape[0])
+    off_max_y = 15 - abs(y + 8 - max_y)
+    min_x = max(x - 7, 0)
+    off_min_x = abs(x - 7 - min_x)
+    max_x = min(x + 8, shape[1])
+    off_max_x = 15 - abs(x + 8 - max_x)
+    out[min_y:max_y, min_x:max_x] = kernel[off_min_y:off_max_y,
+                                           off_min_x:off_max_x]
+    return out
+
+
+def generate_heatmaps_ref(image_shape, target, sigma=10):
+    """reference: data_processing.py:213-252."""
+    H, W = image_shape[:2]
+    n_people = len(target)
+    n_keypoints = len(target[0]["keypoints"]) // 3 if n_people else 17
+    maps = np.zeros((n_keypoints + 1, H, W), np.float32)
+    for k in range(n_keypoints):
+        aux = np.zeros((n_people, H, W), np.float32)
+        for n in range(n_people):
+            kp = target[n]["keypoints"][k * 3:(k + 1) * 3]
+            if kp[2] > 0:
+                aux[n] = _add_gaussian_ref((H, W), int(kp[0]), int(kp[1]),
+                                           sigma)
+        if n_people:
+            maps[k] = aux.max(axis=0)
+    maps[-1] = 1 - maps[:-1].max(axis=0)
+    return maps
+
+
+def _set_paf_ref(height, width, a, b, thickness=5):
+    """reference: data_processing.py:348-397 (coordinate-swap preserved)."""
+    a, b = np.array(a, float)[:2][::-1], np.array(b, float)[:2][::-1]
+    paf1 = np.zeros((height, width))
+    paf2 = np.zeros((height, width))
+    y_ba = b[0] - a[0]
+    x_ba = b[1] - a[1]
+    x_min = int(max(min(b[1], a[1]) - thickness, 0))
+    y_min = int(max(min(b[0], a[0]) - thickness, 0))
+    x_max = int(min(max(b[1], a[1]) + thickness, width))
+    y_max = int(min(max(b[0], a[0]) + thickness, height))
+    norm = (x_ba ** 2 + y_ba ** 2) ** 0.5
+    if norm < 1e-7:
+        return paf1, paf2
+    x_ba, y_ba = x_ba / norm, y_ba / norm
+    xx, yy = np.meshgrid(np.arange(x_min, x_max), np.arange(y_min, y_max))
+    d = np.abs((xx - a[1]) * y_ba - (yy - a[0]) * x_ba)
+    idx = np.argwhere(d <= thickness)
+    paf1[idx[:, 0] + y_min, idx[:, 1] + x_min] = x_ba
+    paf2[idx[:, 0] + y_min, idx[:, 1] + x_min] = y_ba
+    return paf1, paf2
+
+
+def generate_pafs_ref(image_shape, target, limbs, thickness=5):
+    """reference: data_processing.py:294-345."""
+    H, W = image_shape[:2]
+    n_people = len(target)
+    n_keypoints = len(target[0]["keypoints"]) // 3 if n_people else 17
+    out = np.zeros((2 * len(limbs), H, W), np.float32)
+    for i, (ia, ib) in enumerate(limbs):
+        aux1 = np.zeros((n_people, H, W), np.float32)
+        aux2 = np.zeros((n_people, H, W), np.float32)
+        for n in range(n_people):
+            if ia >= n_keypoints or ib >= n_keypoints:
+                continue
+            ka = target[n]["keypoints"][ia * 3:(ia + 1) * 3]
+            kb = target[n]["keypoints"][ib * 3:(ib + 1) * 3]
+            if ka[2] > 0 and kb[2] > 0:
+                aux1[n], aux2[n] = _set_paf_ref(H, W, ka, kb, thickness)
+        if n_people:
+            out[2 * i] = aux1.mean(axis=0)
+            out[2 * i + 1] = aux2.mean(axis=0)
+    return out
