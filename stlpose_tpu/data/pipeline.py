@@ -37,7 +37,13 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 @jax.jit
 def _device_finalize(crops, joints, vis):
-    """Batched on-device tail of the input pipeline: normalize + targets."""
+    """Batched on-device tail of the input pipeline: normalize + targets.
+
+    ``crops`` arrive as uint8 (the host's cv2.warpAffine on uint8 images is
+    integer-valued, so the uint8 wire format is bit-exact and cuts H2D
+    transfer 4x) and are cast to f32 on device.
+    """
+    crops = crops.astype(jnp.float32)
     x = (crops / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     target, weight = generate_targets(joints, vis,
                                       heatmap_size=HEATMAP_SIZE,
@@ -45,19 +51,40 @@ def _device_finalize(crops, joints, vis):
     return x, target, weight
 
 
+def _use_pallas_warp() -> bool:
+    """Pallas warp kernel on TPU (PROFILE_device_warp.json: the XLA gather
+    formulation costs ~2.3x the train step); env-overridable."""
+    import os
+    v = os.environ.get("STLPOSE_PALLAS_WARP", "auto").lower()
+    if v in ("1", "true", "on"):
+        return True
+    if v in ("0", "false", "off"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @jax.jit
 def _device_warp_finalize(canvases, centers, scales, rots, joints, vis):
     """Fully device-side geometry: batched affine crop warp + joint
     transform + normalize + Gaussian targets in ONE XLA program.
 
-    The host only decodes images onto fixed letterbox canvases; centers /
-    scales / joints arrive pre-scaled to canvas coordinates (BASELINE
-    config #2 — 'batched affine-warp + heatmap-target datagen').
+    The host only decodes images onto fixed letterbox canvases (uint8 wire
+    format — cv2.resize on uint8 is integer-valued, so this is bit-exact);
+    centers / scales / joints arrive pre-scaled to canvas coordinates
+    (BASELINE config #2 — 'batched affine-warp + heatmap-target datagen').
+    On TPU the crop warp runs as the Pallas two-pass kernel
+    (ops/pallas_warp.py); on CPU it stays the XLA direct-bilinear gather.
     """
     from stlpose_tpu.ops.affine import get_affine_matrix, apply_affine
+    from stlpose_tpu.ops.pallas_warp import affine_warp_pallas
     from stlpose_tpu.ops.warp import affine_warp
 
-    crops = affine_warp(canvases, centers, scales, rots, IMAGE_SIZE)
+    canvases = canvases.astype(jnp.float32)
+    if _use_pallas_warp() and canvases.shape[1] % 128 == 0:
+        crops = affine_warp_pallas(canvases, centers, scales, rots,
+                                   IMAGE_SIZE)
+    else:
+        crops = affine_warp(canvases, centers, scales, rots, IMAGE_SIZE)
     x = (crops / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     mats = get_affine_matrix(centers, scales, rots, IMAGE_SIZE)
     joints_crop = apply_affine(joints, mats)
@@ -160,7 +187,9 @@ class PoseDataPipeline:
         S = self.canvas_size
         lam = min(S / img.shape[0], S / img.shape[1])
         nh, nw = int(round(img.shape[0] * lam)), int(round(img.shape[1] * lam))
-        canvas = np.zeros((S, S, 3), np.float32)
+        # uint8 canvas: cv2.resize on a uint8 image is uint8, so shipping
+        # bytes instead of f32 is bit-exact and cuts H2D transfer 4x
+        canvas = np.zeros((S, S, 3), np.uint8)
         canvas[:nh, :nw] = cv2.resize(img, (nw, nh),
                                       interpolation=cv2.INTER_LINEAR)
         meta = {"center": c.astype(np.float32), "scale": s.astype(np.float32),
@@ -203,10 +232,12 @@ class PoseDataPipeline:
             vis = np.concatenate([vis, vis[sel]])
             metas = metas + [metas[i] for i in sel]
 
-        crops_dev = jnp.asarray(crops)
+        # cv2.warpAffine on uint8 images yields integer values, so the uint8
+        # wire format is bit-exact (4x less H2D than f32)
+        crops_dev = jnp.asarray(crops.astype(np.uint8))
         if self.stylizer is not None and self.style_bank is not None:
             sidx = self.rng.randint(0, len(self.style_bank), len(crops))
-            styled = self.stylizer(crops_dev / 255.0,
+            styled = self.stylizer(crops_dev.astype(jnp.float32) / 255.0,
                                    jnp.asarray(self.style_bank[sidx]),
                                    alpha=self.style_alpha)
             crops_dev = styled * 255.0

@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: batched affine crop warp (two-pass resampler).
+
+TPU-native replacement for the XLA gather formulation in ``ops/warp.py``
+(itself the device-side re-design of the reference's per-sample host
+``cv2.warpAffine`` crops, reference: data/JointsDataset.py:189-195).
+Profiling on a v5e chip (PROFILE_device_warp.json) showed XLA lowers the
+batched 2-D bilinear gather to an HBM gather that costs ~2.3x the ENTIRE
+HRNet-W32 train step at batch 128 — ~70% of device step time, far past the
+15% Pallas threshold set in SURVEY §2.2. This kernel replaces the 2-D
+gather with Mosaic's native ``tpu.dynamic_gather`` (the only gather shape
+the TPU vector unit supports: per-row lane shuffles / per-column sublane
+shuffles on a 2-D block), reached from JAX via 2-D ``jnp.take_along_axis``.
+
+Algorithm: classic two-pass (Catmull-Smith) decomposition of the inverse
+similarity map  [sx, sy] = [[a, -b], [b, a]] @ [x', y'] + [tx, ty]:
+
+  pass 1 (x-resample, per SOURCE row y):
+      h[y, x'] = lerp_x( src[y, :],  X(x', y) )
+      X(x', y) = (a + b^2/a) * x' - (b/a) * y + (tx + (b/a) * ty)
+  pass 2 (y-resample, per output column x'):
+      out[y', x'] = lerp_y( h[:, x'],  b * x' + a * y' + ty )
+
+Both passes are 1-D interpolations whose index varies per (row, lane) —
+exactly ``tpu.dynamic_gather``'s contract. Out-of-bounds taps contribute 0
+(cv2 BORDER_CONSTANT(0) semantics).
+
+Exactness: for unrotated crops (the ENTIRE inference/eval path — rot is
+always 0 there) the decomposition is mathematically identical to direct
+bilinear sampling, and the kernel is bit-comparable to ``ops/warp.py``.
+For rotated crops (train-time augmentation only) the two-pass filter is a
+different — equally valid — member of the bilinear family: pass 1 samples
+each source row at the row's own sheared x position instead of the common
+(sx, sy) point, so values deviate slightly from cv2's direct bilinear on
+high-frequency content. This is a deliberate, documented deviation on the
+augmentation path (COMPONENTS.md); tests pin the rot=0 exactness and the
+rotated-case agreement with a NumPy oracle of the same two-pass spec.
+
+Conditioning: a = s*cos(theta) vanishes as |theta| -> 90 deg (the reference
+samples rotations in [-2*rf, 2*rf] = [-90, 90], JointsDataset.py:177-180).
+When |a| < |b| the wrapper pre-rotates the canvas by 90 degrees (a pixel
+PERMUTATION — exact) and folds the rotation into the params, so the kernel
+always sees |a| >= |b| (effective |rotation| <= 45 deg).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stlpose_tpu.ops.affine import get_affine_params
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+_LANES = 128
+
+
+def _chunked_lane_resample(src, pos, S, n_rows, out_pad):
+    """1-D lane-dimension bilinear resample, decomposed for Mosaic.
+
+    ``tpu.dynamic_gather`` (the only vectorized gather the TPU VPU has) is
+    an INTRA-vreg shuffle: the source extent along the gathered dimension
+    must fit one vreg (128 lanes). A 1-D resample from an S-wide source is
+    therefore decomposed into (output 128-lane tiles) x (source 128-lane
+    chunks) masked gathers that accumulate into the output — every gather
+    sees a (n_rows, 128) source, (n_rows, 128) indices, (n_rows, 128) out.
+
+    Args:
+      src: (n_rows, S) source values.
+      pos: (n_rows, out_pad) fractional sample positions along the lane dim.
+    Returns:
+      (n_rows, out_pad) resampled values, zero outside [0, S).
+    """
+    p0 = jnp.floor(pos)
+    frac = pos - p0
+    p0i = p0.astype(jnp.int32)
+
+    out_tiles = []
+    for t in range(out_pad // _LANES):
+        sl = slice(t * _LANES, (t + 1) * _LANES)
+        idx_t = p0i[:, sl]                       # (n_rows, 128)
+        frac_t = frac[:, sl]
+        acc = jnp.zeros((n_rows, _LANES), jnp.float32)
+        for tap in range(2):
+            w = (1.0 - frac_t) if tap == 0 else frac_t
+            xi = idx_t + tap
+            for c in range(S // _LANES):
+                local = xi - c * _LANES
+                valid = (local >= 0) & (local < _LANES)
+                g = jnp.take_along_axis(
+                    src[:, c * _LANES:(c + 1) * _LANES],
+                    jnp.where(valid, local, 0), axis=1,
+                    mode="promise_in_bounds")
+                acc = acc + jnp.where(valid, g, 0.0) * w
+        out_tiles.append(acc)
+    return jnp.concatenate(out_tiles, axis=1)
+
+
+def _warp_kernel(params_ref, src_ref, out_ref, *, S, DH, DW, DW_pad,
+                 DH_pad):
+    """One (image, channel) grid step: (S, S) canvas -> (DH, DW) crop."""
+    n = pl.program_id(0)
+    u = params_ref[n, 0]        # a + b^2/a
+    r = params_ref[n, 1]        # b / a
+    txr = params_ref[n, 2]      # tx + (b/a) * ty
+    b = params_ref[n, 3]
+    a = params_ref[n, 4]
+    ty = params_ref[n, 5]
+
+    src = src_ref[0, 0]                                     # (S, S)
+
+    # pass 1: x-resample every source row y at X(x', y) -> h (S, DW_pad)
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, DW_pad), 0).astype(
+        jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, DW_pad), 1).astype(
+        jnp.float32)
+    px = u * col - r * row + txr
+    h = _chunked_lane_resample(src, px, S, S, DW_pad)
+
+    # pass 2 on the transposed intermediate, so the y-resample is also a
+    # lane-dimension gather: hT (DW_pad, S); outT[x', y'] = lerp_y(hT[x'])
+    hT = h.T                                                # (DW_pad, S)
+    rowT = jax.lax.broadcasted_iota(jnp.int32, (DW_pad, DH_pad), 0).astype(
+        jnp.float32)
+    colT = jax.lax.broadcasted_iota(jnp.int32, (DW_pad, DH_pad), 1).astype(
+        jnp.float32)
+    py = b * rowT + a * colT + ty
+    outT = _chunked_lane_resample(hT, py, S, DW_pad, DH_pad)
+    out_ref[0, 0] = outT.T[:DH, :DW]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("output_size", "interpret"))
+def affine_warp_pallas(images, center, scale, rot_deg, output_size,
+                       interpret: bool = False):
+    """Drop-in replacement for ``ops.warp.affine_warp`` (same convention).
+
+    Args:
+      images: (N, S, S, C) float32 square source canvases.
+      center/scale/rot_deg: crop params in the reference's pixel-std
+        convention (same as affine_warp).
+      output_size: static (dst_w, dst_h).
+      interpret: run the kernel in interpreter mode (CPU tests).
+
+    Returns:
+      (N, dst_h, dst_w, C) float32 crops, zero-padded out of bounds.
+    """
+    N, S, S2, C = images.shape
+    assert S == S2, "canvas must be square"
+    assert S % _LANES == 0, (
+        f"canvas size must be a multiple of {_LANES} for the chunked "
+        f"dynamic_gather decomposition; got {S} (use ops.warp.affine_warp)")
+    dst_w, dst_h = output_size
+    DW_pad = _round_up(dst_w, _LANES)
+    DH_pad = _round_up(dst_h, _LANES)
+
+    a, b, tx, ty = get_affine_params(center, scale, rot_deg, output_size,
+                                     inv=True)
+
+    # conditioning: guarantee |a| >= |b| by pre-rotating the canvas 90 deg
+    # (an exact pixel permutation; see module docstring)
+    swap = jnp.abs(a) < jnp.abs(b)
+    rot_images = jnp.rot90(images, k=1, axes=(1, 2))
+    images = jnp.where(swap[:, None, None, None], rot_images, images)
+    a, b, tx, ty = (jnp.where(swap, b, a), jnp.where(swap, -a, b),
+                    jnp.where(swap, ty, tx),
+                    jnp.where(swap, (S - 1.0) - tx, ty))
+
+    r = b / a
+    params = jnp.stack([a + b * r, r, tx + r * ty, b, a, ty,
+                        jnp.zeros_like(a), jnp.zeros_like(a)],
+                       axis=1).astype(jnp.float32)          # (N, 8)
+
+    src = jnp.transpose(images, (0, 3, 1, 2)).astype(jnp.float32)
+
+    kernel = functools.partial(_warp_kernel, S=S, DH=dst_h, DW=dst_w,
+                               DW_pad=DW_pad, DH_pad=DH_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N, C),
+            in_specs=[
+                pl.BlockSpec((1, 1, S, S), lambda n, c, params: (n, c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, dst_h, dst_w),
+                                   lambda n, c, params: (n, c, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, C, dst_h, dst_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(params, src)
+    return jnp.transpose(out, (0, 2, 3, 1))

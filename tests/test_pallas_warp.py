@@ -1,0 +1,100 @@
+"""Pallas two-pass affine warp kernel (ops/pallas_warp.py), interpret mode.
+
+Pins the kernel's contract (see the module docstring's exactness notes):
+  * rot=0 (the entire inference/eval path): mathematically identical to the
+    direct-bilinear XLA warp (ops/warp.py) -> f32-roundoff agreement.
+  * rot=+-90 deg: the conditioning pre-rotation is a pixel permutation and
+    the residual shear is zero -> exact again.
+  * rotated (train augmentation): a different member of the bilinear filter
+    family; must agree with direct bilinear on in-bounds low-frequency
+    content and track the same geometry (checked via a warped coordinate
+    ramp, which both schemes interpolate exactly).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stlpose_tpu.ops.warp import affine_warp
+from stlpose_tpu.ops.pallas_warp import affine_warp_pallas
+
+OUT = (192, 256)
+
+
+def _params(n, s, lo=110, hi_margin=110, scale=0.35, seed=0):
+    rng = np.random.RandomState(seed)
+    cen = jnp.asarray(rng.uniform(lo, s - hi_margin, (n, 2)).astype(np.float32))
+    sca = jnp.asarray(np.full((n, 2), scale, np.float32))
+    return cen, sca
+
+
+def test_rot0_matches_direct_bilinear_exactly():
+    rng = np.random.RandomState(1)
+    n, s = 3, 256
+    imgs = jnp.asarray(rng.rand(n, s, s, 3).astype(np.float32) * 255)
+    cen, sca = _params(n, s, lo=60, hi_margin=60, scale=0.8)
+    zero = jnp.zeros((n,), jnp.float32)
+    ref = affine_warp(imgs, cen, sca, zero, OUT)
+    out = affine_warp_pallas(imgs, cen, sca, zero, OUT, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=0)
+
+
+@pytest.mark.parametrize("deg", [90.0, -90.0])
+def test_rot90_exact_via_prerotation(deg):
+    rng = np.random.RandomState(2)
+    n, s = 2, 256
+    imgs = jnp.asarray(rng.rand(n, s, s, 3).astype(np.float32) * 255)
+    cen, sca = _params(n, s)
+    rot = jnp.full((n,), deg, jnp.float32)
+    ref = affine_warp(imgs, cen, sca, rot, OUT)
+    out = affine_warp_pallas(imgs, cen, sca, rot, OUT, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=0)
+
+
+@pytest.mark.parametrize("deg", [15.0, 40.0, -60.0, 75.0])
+def test_rotated_geometry_exact_on_linear_ramps(deg):
+    """Bilinear interpolation (either scheme) reproduces affine-linear
+    images exactly, so a coordinate ramp pins the GEOMETRY of the rotated
+    path to the direct-bilinear warp without filter-scheme sensitivity."""
+    n, s = 2, 256
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    ramp = np.stack([xx, yy, xx + yy], -1)
+    imgs = jnp.asarray(np.tile(ramp[None], (n, 1, 1, 1)))
+    cen, sca = _params(n, s)
+    rot = jnp.full((n,), deg, jnp.float32)
+    ref = affine_warp(imgs, cen, sca, rot, OUT)
+    out = affine_warp_pallas(imgs, cen, sca, rot, OUT, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=0)
+
+
+@pytest.mark.parametrize("deg", [15.0, 40.0, -60.0])
+def test_rotated_close_on_smooth_content(deg):
+    n, s = 2, 256
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    smooth = np.stack([np.sin(xx / 40) * np.cos(yy / 37), xx / s, yy / s],
+                      -1) * 100.0
+    imgs = jnp.asarray(np.tile(smooth[None], (n, 1, 1, 1)))
+    cen, sca = _params(n, s)
+    rot = jnp.full((n,), deg, jnp.float32)
+    ref = affine_warp(imgs, cen, sca, rot, OUT)
+    out = affine_warp_pallas(imgs, cen, sca, rot, OUT, interpret=True)
+    d = float(jnp.max(jnp.abs(ref - out)))
+    assert d < 0.05, d                      # ~0.01% of the value range
+
+
+def test_zero_padding_outside_canvas():
+    """Crops hanging off the canvas edge must be zero there (cv2
+    BORDER_CONSTANT(0) semantics), for both schemes."""
+    n, s = 1, 256
+    imgs = jnp.ones((n, s, s, 3), jnp.float32) * 7.0
+    cen = jnp.asarray([[10.0, 10.0]], jnp.float32)      # far corner
+    sca = jnp.asarray([[1.2, 1.2]], jnp.float32)
+    zero = jnp.zeros((n,), jnp.float32)
+    ref = affine_warp(imgs, cen, sca, zero, OUT)
+    out = affine_warp_pallas(imgs, cen, sca, zero, OUT, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=0)
+    assert float(jnp.min(out)) == 0.0
