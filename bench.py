@@ -13,11 +13,13 @@ iteration's input depends on a scalar from the previous iteration's output
 chain; per-call RPC latency is amortized over ``--iters``, not subtracted.
 
 Other modes (written to BENCH_extra.json, one JSON line each to stdout):
-  --mode train   pose train-step throughput (samples/sec, full fwd+bwd+
-                 optimizer+PCK step from parallel/steps.py)
-  --mode tta     flip-TTA eval throughput (the 03_evaluate forward: doubled
-                 batch, TTA average, loss+PCK+decode)
-  --mode sweep   inference at each of --batches, reports the best
+  --mode train     pose train-step throughput (samples/sec, full fwd+bwd+
+                   optimizer+PCK step from parallel/steps.py)
+  --mode tta       flip-TTA eval throughput (the 03_evaluate forward: doubled
+                   batch, TTA average, loss+PCK+decode)
+  --mode detector  Faster R-CNN full-size detector inference (images/sec:
+                   forward + RPN + RoI heads + static NMS postprocess)
+  --mode sweep     inference at each of --batches, reports the best
 """
 
 import argparse
@@ -216,10 +218,42 @@ def bench_train(batch, iters, warmup):
                        "iters": iters, "loss": round(chk, 4)}}
 
 
+def bench_detector(batch, iters, warmup):
+    """Faster R-CNN inference (fwd + proposals + heads + NMS) images/sec."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN
+
+    model = FasterRCNN()                    # full-scale default config
+    S = model.config.image_size
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0))
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    @jax.jit
+    def infer(variables, images, chain):
+        out = model.predict(variables, images + chain * 0.0)
+        return (jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) +
+                jnp.sum(out["labels"].astype(jnp.float32)))
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, S, S, 3).astype(np.float32))
+    per_iter, chk = _chained_time(
+        infer, lambda c: (variables, images, c), iters, warmup)
+    return {"metric": "faster_rcnn_inference_throughput",
+            "value": round(batch / per_iter, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "detail": {"batch": batch, "image_size": S,
+                       "ms_per_iter": round(per_iter * 1000, 2),
+                       "iters": iters, "checksum": round(chk, 2)}}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="infer",
-                    choices=["infer", "train", "tta", "sweep"])
+                    choices=["infer", "train", "tta", "detector", "sweep"])
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--batches", default="256,512,1024")
     ap.add_argument("--iters", type=int, default=30)
@@ -235,6 +269,8 @@ def main():
         result = bench_tta(args.batch, args.iters, args.warmup)
     elif args.mode == "train":
         result = bench_train(min(args.batch, 128), args.iters, args.warmup)
+    elif args.mode == "detector":
+        result = bench_detector(min(args.batch, 16), args.iters, args.warmup)
     else:  # sweep
         runs = [bench_infer(int(b), args.iters, args.warmup)
                 for b in args.batches.split(",")]

@@ -178,7 +178,19 @@ def affine_warp_pallas(images, center, scale, rot_deg, output_size,
                        axis=1).astype(jnp.float32)          # (N, 8)
 
     src = jnp.transpose(images, (0, 3, 1, 2)).astype(jnp.float32)
+    return _pallas_warp_call(params, src, N, C, S, dst_h, dst_w,
+                             shared=False, interpret=interpret)
 
+
+def _pallas_warp_call(params, src, N, C, S, dst_h, dst_w, *, shared,
+                      interpret):
+    """Launch the warp kernel. ``shared=True`` reads ONE (1, C, S, S)
+    canvas for every crop (two-stage inference: K detections, one image)
+    instead of a per-crop canvas — no K-fold broadcast in HBM."""
+    DW_pad = _round_up(dst_w, _LANES)
+    DH_pad = _round_up(dst_h, _LANES)
+    src_index = ((lambda n, c, params: (0, c, 0, 0)) if shared
+                 else (lambda n, c, params: (n, c, 0, 0)))
     kernel = functools.partial(_warp_kernel, S=S, DH=dst_h, DW=dst_w,
                                DW_pad=DW_pad, DH_pad=DH_pad)
     out = pl.pallas_call(
@@ -187,7 +199,7 @@ def affine_warp_pallas(images, center, scale, rot_deg, output_size,
             num_scalar_prefetch=1,
             grid=(N, C),
             in_specs=[
-                pl.BlockSpec((1, 1, S, S), lambda n, c, params: (n, c, 0, 0)),
+                pl.BlockSpec((1, 1, S, S), src_index),
             ],
             out_specs=pl.BlockSpec((1, 1, dst_h, dst_w),
                                    lambda n, c, params: (n, c, 0, 0)),
@@ -198,3 +210,37 @@ def affine_warp_pallas(images, center, scale, rot_deg, output_size,
         interpret=interpret,
     )(params, src)
     return jnp.transpose(out, (0, 2, 3, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "interpret"))
+def crop_from_center_scale_pallas(image, centers, scales, output_size,
+                                  interpret: bool = False):
+    """Extract K person crops from ONE image via the Pallas kernel
+    (two-stage inference; same contract as ops.warp.crop_from_center_scale,
+    reference: lib/transforms.py:30-60).
+
+    Detection crops are unrotated, which is exactly the regime where the
+    two-pass kernel is bit-equal to direct bilinear, so this path has NO
+    filter-scheme deviation. The image is zero-padded to a 128-multiple
+    square on device (static shapes) — identical to BORDER_CONSTANT(0)
+    out-of-bounds semantics — and the kernel reads the single shared
+    canvas for every crop instead of broadcasting it K times.
+    """
+    H, W, C = image.shape
+    K = centers.shape[0]
+    S = _round_up(max(H, W), _LANES)
+    canvas = jnp.zeros((S, S, C), jnp.float32)
+    canvas = jax.lax.dynamic_update_slice(
+        canvas, image.astype(jnp.float32), (0, 0, 0))
+
+    dst_w, dst_h = output_size
+    zero = jnp.zeros((K,), jnp.float32)
+    a, b, tx, ty = get_affine_params(centers, scales, zero, output_size,
+                                     inv=True)
+    # rot=0: b == 0, so u = a, r = 0, txr = tx (no conditioning swap)
+    params = jnp.stack([a, jnp.zeros_like(a), tx, b, a, ty,
+                        jnp.zeros_like(a), jnp.zeros_like(a)],
+                       axis=1).astype(jnp.float32)           # (K, 8)
+    src = jnp.transpose(canvas, (2, 0, 1))[None]             # (1, C, S, S)
+    return _pallas_warp_call(params, src, K, C, S, dst_h, dst_w,
+                             shared=True, interpret=interpret)

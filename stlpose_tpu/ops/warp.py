@@ -88,14 +88,28 @@ def crop_from_center_scale(image, centers, scales, output_size):
     """Extract multiple person crops from ONE image (two-stage inference).
 
     Equivalent of ``TransformDetection.__call__`` (lib/transforms.py:30-60)
-    but batched over detections on device.
+    but batched over detections on device. On TPU this routes to the
+    Pallas two-pass kernel (ops/pallas_warp.py) with a shared canvas —
+    detection crops are unrotated, where the kernel is exactly direct
+    bilinear — and falls back to the XLA gather elsewhere
+    (STLPOSE_PALLAS_WARP=0 forces the XLA path).
 
     Args:
       image: (H, W, C); centers: (K, 2); scales: (K, 2).
     Returns:
       (K, dst_h, dst_w, C) crops.
     """
+    import os
+
     K = centers.shape[0]
+    v = os.environ.get("STLPOSE_PALLAS_WARP", "auto").lower()
+    use_pallas = (v in ("1", "true", "on") or
+                  (v not in ("0", "false", "off") and
+                   jax.default_backend() == "tpu"))
+    if use_pallas:
+        from stlpose_tpu.ops.pallas_warp import crop_from_center_scale_pallas
+        return crop_from_center_scale_pallas(image, centers, scales,
+                                             output_size)
     images = jnp.broadcast_to(image, (K,) + image.shape)
     return affine_warp(images, centers, scales, jnp.zeros((K,), jnp.float32),
                        output_size)
