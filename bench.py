@@ -160,8 +160,11 @@ def bench_tta(batch, iters, warmup):
                        "iters": iters, "checksum": round(chk, 2)}}
 
 
-def bench_train(batch, iters, warmup):
-    """Full pose train step (fwd+bwd+Adam+BN update+PCK) samples/sec."""
+def bench_train(batch, iters, warmup, dtype="float32"):
+    """Full pose train step (fwd+bwd+Adam+BN update+PCK) samples/sec.
+
+    dtype="bfloat16" benches the mixed-precision configuration the engines
+    expose via STLPOSE_DTYPE (bf16 compute, f32 params/BN stats/loss)."""
     jax = _setup()
     import jax.numpy as jnp
     from stlpose_tpu.config import default_experiment_args
@@ -169,7 +172,7 @@ def bench_train(batch, iters, warmup):
     from stlpose_tpu.parallel import get_mesh, shard_batch, make_train_step
     from stlpose_tpu.train import create_train_state
 
-    model = create_hrnet("w32_256x192")
+    model = create_hrnet("w32_256x192", dtype=jnp.dtype(dtype))
     exp = default_experiment_args()
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -209,11 +212,12 @@ def bench_train(batch, iters, warmup):
         state, chain = one(state, chain)
     chk = float(chain)                  # one fetch drains the whole chain
     per_iter = (time.perf_counter() - t0) / iters
-    return {"metric": "hrnet_w32_train_step_throughput",
+    suffix = "" if dtype == "float32" else "_bf16"
+    return {"metric": f"hrnet_w32_train_step_throughput{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "samples/sec/chip",
             "vs_baseline": None,
-            "detail": {"batch": batch,
+            "detail": {"batch": batch, "dtype": dtype,
                        "ms_per_iter": round(per_iter * 1000, 2),
                        "iters": iters, "loss": round(chk, 4)}}
 
@@ -250,16 +254,54 @@ def bench_detector(batch, iters, warmup):
                        "iters": iters, "checksum": round(chk, 2)}}
 
 
+def bench_efficientdet(batch, iters, warmup):
+    """EfficientDet-D0 inference (EfficientNet + BiFPN + heads + static
+    top-k/NMS postprocess) images/sec."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from stlpose_tpu.models.efficientdet import (EfficientDet,
+                                                 EFFICIENTDET_D0)
+
+    model = EfficientDet(EFFICIENTDET_D0)
+    S = EFFICIENTDET_D0.image_size
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0))
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    @jax.jit
+    def infer(variables, images, chain):
+        out = model.predict(variables, images + chain * 0.0)
+        return (jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) +
+                jnp.sum(out["labels"].astype(jnp.float32)))
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, S, S, 3).astype(np.float32))
+    per_iter, chk = _chained_time(
+        infer, lambda c: (variables, images, c), iters, warmup)
+    return {"metric": "efficientdet_d0_inference_throughput",
+            "value": round(batch / per_iter, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "detail": {"batch": batch, "image_size": S,
+                       "ms_per_iter": round(per_iter * 1000, 2),
+                       "iters": iters, "checksum": round(chk, 2)}}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="infer",
-                    choices=["infer", "train", "tta", "detector", "sweep"])
+                    choices=["infer", "train", "tta", "detector",
+                             "efficientdet", "sweep"])
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--batches", default="256,512,1024")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--no-fold", action="store_true",
                     help="disable BN/input-norm folding (parity path)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="train-mode compute dtype (mixed precision)")
     args = ap.parse_args()
 
     if args.mode == "infer":
@@ -268,9 +310,13 @@ def main():
     elif args.mode == "tta":
         result = bench_tta(args.batch, args.iters, args.warmup)
     elif args.mode == "train":
-        result = bench_train(min(args.batch, 128), args.iters, args.warmup)
+        result = bench_train(min(args.batch, 128), args.iters, args.warmup,
+                             dtype=args.dtype)
     elif args.mode == "detector":
         result = bench_detector(min(args.batch, 16), args.iters, args.warmup)
+    elif args.mode == "efficientdet":
+        result = bench_efficientdet(min(args.batch, 16), args.iters,
+                                    args.warmup)
     else:  # sweep
         runs = [bench_infer(int(b), args.iters, args.warmup)
                 for b in args.batches.split(",")]

@@ -310,12 +310,12 @@ class EfficientDet:
         cls, reg, shapes = self.module.apply(variables, images, train=False)
         anchors = self._get_anchors(shapes)
 
-        def per_image(i):
-            scores_all = jax.nn.sigmoid(cls[i])          # (A, C)
+        def per_image(cls_i, reg_i):
+            scores_all = jax.nn.sigmoid(cls_i)           # (A, C)
             best_c = scores_all.argmax(axis=1)
             best_s = scores_all.max(axis=1)
             top_s, top_i = jax.lax.top_k(best_s, cfg.pre_nms_top_n)
-            boxes = decode_boxes(reg[i][top_i], anchors[top_i])
+            boxes = decode_boxes(reg_i[top_i], anchors[top_i])
             boxes = clip_boxes(boxes, (cfg.image_size, cfg.image_size))
             ok = top_s > cfg.score_thresh
             keep = box_nms_jax(boxes, jnp.where(ok, top_s, -jnp.inf),
@@ -325,8 +325,8 @@ class EfficientDet:
             return (boxes[oi], jnp.maximum(out_s, 0.0),
                     best_c[top_i][oi] + 1, out_s > -jnp.inf)
 
-        res = [per_image(i) for i in range(images.shape[0])]
-        return {"boxes": jnp.stack([r[0] for r in res]),
-                "scores": jnp.stack([r[1] for r in res]),
-                "labels": jnp.stack([r[2] for r in res]).astype(jnp.int32),
-                "valid": jnp.stack([r[3] for r in res])}
+        # vmap over the batch: ONE compiled copy of the postprocess graph
+        # instead of N unrolled copies (same fix as FasterRCNN.predict)
+        b, s, l, v = jax.vmap(per_image)(cls, reg)
+        return {"boxes": b, "scores": s, "labels": l.astype(jnp.int32),
+                "valid": v}
