@@ -39,34 +39,29 @@ def _setup():
     return jax
 
 
-def _init_variables(jax, model, shape):
+def _init_variables(jax, model, shape, to_device=True):
     """Init on the CPU backend: avoids a ~2 min remote compile of the init
-    program in a fresh process (per-session compile cache — CLAUDE.md)."""
+    program in a fresh process (per-session compile cache — CLAUDE.md).
+    ``to_device=False`` keeps the tree on host so callers can transform it
+    (BN folding) BEFORE the single H2D transfer — pulling it back through
+    the tunnel costs a D2H round trip of the whole parameter tree."""
     import jax.numpy as jnp
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             v = model.init(jax.random.PRNGKey(0), jnp.zeros(shape),
                            train=False)
-        return jax.device_put(v, jax.devices()[0])
+        return jax.device_put(v, jax.devices()[0]) if to_device else v
     except Exception:
         return model.init(jax.random.PRNGKey(0), jnp.zeros(shape),
                           train=False)
 
 
 def _chained_time(fn, args_fn, iters, warmup):
-    """Run ``iters`` chained executions; one fetch drains the chain."""
-    import jax.numpy as jnp
-    chain = jnp.zeros((), jnp.float32)
-    for _ in range(warmup):
-        chain = fn(*args_fn(chain))
-    float(chain)                        # drain warmup before timing
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        chain = fn(*args_fn(chain))
-    chk = float(chain)                  # one fetch drains the whole chain
-    total = time.perf_counter() - t0
-    return total / iters, chk
+    """Run ``iters`` chained executions; one fetch drains the chain
+    (shared protocol implementation: stlpose_tpu/utils/timing.py)."""
+    from stlpose_tpu.utils.timing import chained_time
+    return chained_time(fn, args_fn, iters, warmup)
 
 
 def bench_infer(batch, iters, warmup, fold=True):
@@ -79,19 +74,22 @@ def bench_infer(batch, iters, warmup, fold=True):
     std = np.asarray([0.229, 0.224, 0.225], np.float32) * 255.0
 
     base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
-    variables = _init_variables(jax, base, (1, 256, 192, 3))
     jmean = jnp.asarray(mean)
     jstd = jnp.asarray(std)
     if fold:
         # serving configuration: every BN folded into conv weights — an
         # EXACT transform (test_fold_bn.py); input normalization stays an
         # explicit fused multiply-add (folding it into the stem conv has a
-        # zero-padding border deviation — see fold_input_normalization)
+        # zero-padding border deviation — see fold_input_normalization).
+        # Fold on host, BEFORE the one H2D transfer.
         model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
+        variables = _init_variables(jax, base, (1, 256, 192, 3),
+                                    to_device=False)
         variables = jax.device_put(fold_batchnorms(variables),
                                    jax.devices()[0])
     else:
         model = base
+        variables = _init_variables(jax, base, (1, 256, 192, 3))
 
     @jax.jit
     def infer(variables, crops_u8, centers, scales, chain):
@@ -129,7 +127,8 @@ def bench_tta(batch, iters, warmup):
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
     std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
     base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
-    variables = _init_variables(jax, base, (1, 256, 192, 3))
+    variables = _init_variables(jax, base, (1, 256, 192, 3),
+                                to_device=False)
     model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
     variables = jax.device_put(fold_batchnorms(variables), jax.devices()[0])
 

@@ -97,16 +97,10 @@ def main():
                                           image_size=IMAGE_SIZE)
         return jnp.sum(x) + jnp.sum(target) + jnp.sum(weight)
 
+    from stlpose_tpu.utils.timing import chained_time
+
     def chained(fn, argfn):
-        chain = jnp.zeros((), jnp.float32)
-        for _ in range(args.warmup):
-            chain = fn(*argfn(chain))
-        float(chain)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            chain = fn(*argfn(chain))
-        float(chain)
-        return (time.perf_counter() - t0) / args.iters * 1000.0  # ms
+        return chained_time(fn, argfn, args.iters, args.warmup)[0] * 1000.0
 
     ms_warp = chained(
         warp_finalize,

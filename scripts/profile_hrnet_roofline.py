@@ -42,16 +42,12 @@ def main():
     dev = jax.devices()[0]
     rng = np.random.RandomState(0)
 
+    from stlpose_tpu.utils.timing import chained_time
+
     def chained(fn, *const_args):
-        chain = jnp.zeros((), jnp.float32)
-        for _ in range(args.warmup):
-            chain = fn(*const_args, chain)
-        float(chain)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            chain = fn(*const_args, chain)
-        float(chain)
-        return (time.perf_counter() - t0) / args.iters * 1000.0
+        per_iter, _ = chained_time(fn, lambda c: const_args + (c,),
+                                   args.iters, args.warmup)
+        return per_iter * 1000.0
 
     # --- 1. per-branch-geometry conv microbench (equal FLOPs) ----------
     # REPS dependent convs per jit call so per-dispatch overhead (which a

@@ -19,6 +19,7 @@ distributions match the reference.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import functools
 import threading
 from typing import Iterator, List, Sequence
 
@@ -51,20 +52,8 @@ def _device_finalize(crops, joints, vis):
     return x, target, weight
 
 
-def _use_pallas_warp() -> bool:
-    """Pallas warp kernel on TPU (PROFILE_device_warp.json: the XLA gather
-    formulation costs ~2.3x the train step); env-overridable."""
-    import os
-    v = os.environ.get("STLPOSE_PALLAS_WARP", "auto").lower()
-    if v in ("1", "true", "on"):
-        return True
-    if v in ("0", "false", "off"):
-        return False
-    return jax.default_backend() == "tpu"
-
-
-@jax.jit
-def _device_warp_finalize(canvases, centers, scales, rots, joints, vis):
+def _device_warp_finalize(canvases, centers, scales, rots, joints, vis,
+                          may_rotate: bool = True):
     """Fully device-side geometry: batched affine crop warp + joint
     transform + normalize + Gaussian targets in ONE XLA program.
 
@@ -74,15 +63,29 @@ def _device_warp_finalize(canvases, centers, scales, rots, joints, vis):
     (BASELINE config #2 — 'batched affine-warp + heatmap-target datagen').
     On TPU the crop warp runs as the Pallas two-pass kernel
     (ops/pallas_warp.py); on CPU it stays the XLA direct-bilinear gather.
+    The Pallas/XLA choice is made HERE, per call (the gate must not be
+    frozen into the jitted program — STLPOSE_PALLAS_WARP would stop
+    working mid-process), and passed down as a static arg.
     """
+    from stlpose_tpu.ops.pallas_warp import use_pallas_warp
+
+    use_pallas = use_pallas_warp() and canvases.shape[1] % 128 == 0
+    return _device_warp_finalize_impl(canvases, centers, scales, rots,
+                                      joints, vis, use_pallas=use_pallas,
+                                      may_rotate=may_rotate)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas", "may_rotate"))
+def _device_warp_finalize_impl(canvases, centers, scales, rots, joints, vis,
+                               *, use_pallas, may_rotate):
     from stlpose_tpu.ops.affine import get_affine_matrix, apply_affine
     from stlpose_tpu.ops.pallas_warp import affine_warp_pallas
     from stlpose_tpu.ops.warp import affine_warp
 
     canvases = canvases.astype(jnp.float32)
-    if _use_pallas_warp() and canvases.shape[1] % 128 == 0:
+    if use_pallas:
         crops = affine_warp_pallas(canvases, centers, scales, rots,
-                                   IMAGE_SIZE)
+                                   IMAGE_SIZE, may_rotate=may_rotate)
     else:
         crops = affine_warp(canvases, centers, scales, rots, IMAGE_SIZE)
     x = (crops / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
@@ -282,7 +285,10 @@ class PoseDataPipeline:
         x, target, weight, joints_crop = _device_warp_finalize(
             jnp.asarray(canvases), jnp.asarray(centers),
             jnp.asarray(scales), jnp.asarray(rots), jnp.asarray(joints),
-            jnp.asarray(vis))
+            jnp.asarray(vis),
+            # no augmentation -> rot is identically 0; skip the kernel's
+            # conditioning pre-rotation pass (a full canvas copy)
+            may_rotate=self.aug is not None)
         return {
             "image": x, "target": target, "target_weight": weight,
             "joints": np.asarray(joints_crop), "joints_vis": vis,

@@ -58,6 +58,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def use_pallas_warp() -> bool:
+    """Single gate for every Pallas-warp call site (pipeline + two-stage
+    crops): STLPOSE_PALLAS_WARP=1/true/on forces the kernel,
+    0/false/off forces the XLA gather, anything else -> on for the TPU
+    backend only. Call per dispatch, NOT from inside a jitted function —
+    a jitted caller would freeze the answer at first trace."""
+    import os
+    v = os.environ.get("STLPOSE_PALLAS_WARP", "auto").lower()
+    if v in ("1", "true", "on"):
+        return True
+    if v in ("0", "false", "off"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 _LANES = 128
 
 
@@ -136,9 +151,10 @@ def _warp_kernel(params_ref, src_ref, out_ref, *, S, DH, DW, DW_pad,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("output_size", "interpret"))
+                   static_argnames=("output_size", "interpret",
+                                    "may_rotate"))
 def affine_warp_pallas(images, center, scale, rot_deg, output_size,
-                       interpret: bool = False):
+                       interpret: bool = False, may_rotate: bool = True):
     """Drop-in replacement for ``ops.warp.affine_warp`` (same convention).
 
     Args:
@@ -147,6 +163,10 @@ def affine_warp_pallas(images, center, scale, rot_deg, output_size,
         convention (same as affine_warp).
       output_size: static (dst_w, dst_h).
       interpret: run the kernel in interpreter mode (CPU tests).
+      may_rotate: static promise. False (|rot| <= 45 deg guaranteed, e.g.
+        an unaugmented eval pipeline where rot is identically 0) skips the
+        conditioning pre-rotation — a full extra read+write of the canvas
+        batch that XLA cannot elide because the swap mask is data-driven.
 
     Returns:
       (N, dst_h, dst_w, C) float32 crops, zero-padded out of bounds.
@@ -157,20 +177,18 @@ def affine_warp_pallas(images, center, scale, rot_deg, output_size,
         f"canvas size must be a multiple of {_LANES} for the chunked "
         f"dynamic_gather decomposition; got {S} (use ops.warp.affine_warp)")
     dst_w, dst_h = output_size
-    DW_pad = _round_up(dst_w, _LANES)
-    DH_pad = _round_up(dst_h, _LANES)
-
     a, b, tx, ty = get_affine_params(center, scale, rot_deg, output_size,
                                      inv=True)
 
-    # conditioning: guarantee |a| >= |b| by pre-rotating the canvas 90 deg
-    # (an exact pixel permutation; see module docstring)
-    swap = jnp.abs(a) < jnp.abs(b)
-    rot_images = jnp.rot90(images, k=1, axes=(1, 2))
-    images = jnp.where(swap[:, None, None, None], rot_images, images)
-    a, b, tx, ty = (jnp.where(swap, b, a), jnp.where(swap, -a, b),
-                    jnp.where(swap, ty, tx),
-                    jnp.where(swap, (S - 1.0) - tx, ty))
+    if may_rotate:
+        # conditioning: guarantee |a| >= |b| by pre-rotating the canvas
+        # 90 deg (an exact pixel permutation; see module docstring)
+        swap = jnp.abs(a) < jnp.abs(b)
+        rot_images = jnp.rot90(images, k=1, axes=(1, 2))
+        images = jnp.where(swap[:, None, None, None], rot_images, images)
+        a, b, tx, ty = (jnp.where(swap, b, a), jnp.where(swap, -a, b),
+                        jnp.where(swap, ty, tx),
+                        jnp.where(swap, (S - 1.0) - tx, ty))
 
     r = b / a
     params = jnp.stack([a + b * r, r, tx + r * ty, b, a, ty,

@@ -55,7 +55,9 @@ def roi_align_single_level(features, boxes, output_size: int = 7,
         [-1, 0] clamp to 0; the high tap clamps to the last index.
         """
         gx, gy = jnp.meshgrid(xv, yv)           # (ny, nx)
-        inside = (gx > -1.0) & (gx < W) & (gy > -1.0) & (gy < H)
+        # closed interval: torchvision rejects only coord < -1 or
+        # coord > size, so exactly -1 / size still clamp and contribute
+        inside = (gx >= -1.0) & (gx <= W) & (gy >= -1.0) & (gy <= H)
         gx = jnp.clip(gx, 0.0, W - 1)
         gy = jnp.clip(gy, 0.0, H - 1)
         x0 = jnp.floor(gx)

@@ -99,14 +99,10 @@ def crop_from_center_scale(image, centers, scales, output_size):
     Returns:
       (K, dst_h, dst_w, C) crops.
     """
-    import os
+    from stlpose_tpu.ops.pallas_warp import use_pallas_warp
 
     K = centers.shape[0]
-    v = os.environ.get("STLPOSE_PALLAS_WARP", "auto").lower()
-    use_pallas = (v in ("1", "true", "on") or
-                  (v not in ("0", "false", "off") and
-                   jax.default_backend() == "tpu"))
-    if use_pallas:
+    if use_pallas_warp():
         from stlpose_tpu.ops.pallas_warp import crop_from_center_scale_pallas
         return crop_from_center_scale_pallas(image, centers, scales,
                                              output_size)

@@ -100,12 +100,11 @@ def test_zero_padding_outside_canvas():
     assert float(jnp.min(out)) == 0.0
 
 
-def test_crop_from_center_scale_pallas_exact():
+def test_crop_from_center_scale_pallas_exact(monkeypatch):
     """Two-stage crops (rot=0, shared canvas, non-square source) are exact
     vs the XLA direct-bilinear path, including out-of-canvas zero pad."""
     from stlpose_tpu.ops.pallas_warp import crop_from_center_scale_pallas
     from stlpose_tpu.ops.warp import crop_from_center_scale
-    import os
 
     rng = np.random.RandomState(3)
     H, W = 300, 420                                # pads to 512x512
@@ -116,11 +115,8 @@ def test_crop_from_center_scale_pallas_exact():
     scales = jnp.asarray(rng.uniform(0.3, 1.5, (6, 2)).astype(np.float32))
     out = crop_from_center_scale_pallas(img, boxes_c, scales, OUT,
                                         interpret=True)
-    os.environ["STLPOSE_PALLAS_WARP"] = "0"
-    try:
-        ref = crop_from_center_scale(img, boxes_c, scales, OUT)
-    finally:
-        os.environ.pop("STLPOSE_PALLAS_WARP")
+    monkeypatch.setenv("STLPOSE_PALLAS_WARP", "0")
+    ref = crop_from_center_scale(img, boxes_c, scales, OUT)
     # nested-lerp vs 4-tap-sum f32 rounding only (~3e-5 relative at 255)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-2, rtol=0)
