@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""
+AOT serving export CLI (no reference counterpart — the reference serves by
+unpickling torch modules, lib/model_setup.py:19-47; this framework ships a
+deployable StableHLO artifact instead).
+
+Usage:
+  python scripts/08_export_serving.py -d <experiment_dir> [--checkpoint X]
+      [--out DIR] [--platforms tpu,cpu]
+
+Loads the experiment's model (optionally a trained checkpoint, or the
+published .pth via STLPOSE_PRETRAINED like 03_evaluate.py), folds BN, and
+writes <out>/model.stablehlo + manifest.json. The artifact is
+batch-polymorphic and loadable with stlpose_tpu.serving.load_pose_server.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    from stlpose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+
+    from stlpose_tpu.config import CONFIG, get_hrnet_config
+    from stlpose_tpu.models import PoseHighResolutionNet
+    from stlpose_tpu.serving import export_pose_server
+    from stlpose_tpu.train import create_train_state
+    from stlpose_tpu.utils import load_experiment_parameters
+    from stlpose_tpu.utils.checkpoint import (load_checkpoint,
+                                              load_pretrained_variables)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-d", "--exp_directory", required=True)
+    ap.add_argument("--checkpoint", default=None,
+                    help="experiment checkpoint name to export")
+    ap.add_argument("--out", default=None,
+                    help="output dir (default <exp>/serving_export)")
+    ap.add_argument("--platforms", default="tpu,cpu")
+    args = ap.parse_args()
+
+    exp_path = args.exp_directory
+    exp_data = load_experiment_parameters(exp_path)
+    config_name = os.environ.get("STLPOSE_MODEL_CONFIG", "w32_256x192")
+    cfg = get_hrnet_config(config_name)
+    model = PoseHighResolutionNet(config=cfg)
+
+    pretrained = os.environ.get("STLPOSE_PRETRAINED", "default")
+    if pretrained == "default":
+        pretrained = os.path.join(CONFIG["paths"]["pretrained_path"],
+                                  "HRnet", "pose_hrnet_w32_256x192.pth")
+    variables = None
+    if pretrained and os.path.exists(pretrained):
+        variables = load_pretrained_variables(model, pretrained)
+    hw = cfg.image_size
+    state, _ = create_train_state(
+        model, exp_data, jax.random.PRNGKey(CONFIG["random_seed"]),
+        (1, hw[1], hw[0], 3), variables=variables)
+    if args.checkpoint is not None:
+        state, _ = load_checkpoint(state, exp_path, args.checkpoint,
+                                   only_model=True)
+
+    out_dir = args.out or os.path.join(exp_path, "serving_export")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    export_pose_server(variables, out_dir, config_name=config_name,
+                       input_hw=(hw[1], hw[0]),
+                       platforms=tuple(args.platforms.split(",")))
+    print(f"exported serving artifact -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Ahead-of-time serving export for the pose model.
+
+Production deployment path the reference does not have (it serves by
+unpickling a torch module into a live Python process,
+reference: lib/model_setup.py:19-47): the complete serving computation —
+uint8 crop batch -> ImageNet normalize -> bf16 HRNet forward with BN folded
+into conv weights -> heatmap decode to image-space keypoints — is exported
+through ``jax.export`` as a serialized StableHLO artifact with a JSON
+manifest. The artifact is:
+
+  * self-contained: no Python model code needed at load time;
+  * batch-polymorphic: exported over a symbolic batch dimension, one
+    artifact serves any batch size;
+  * multi-platform: lowered for both ``tpu`` and ``cpu`` by default, so
+    the same file serves on a TPU host and in a CPU canary;
+  * versioned: the manifest records config name, dtype, folding, and the
+    jax/stablehlo versions used to produce it.
+
+Layout on disk (a directory):
+  <dir>/model.stablehlo   serialized jax.export artifact
+  <dir>/manifest.json     metadata (shapes, config, provenance)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Sequence
+
+import numpy as np
+
+
+def _build_serving_fn(config_name: str, dtype):
+    """The full serving computation as a pure function of (params, crops
+    uint8, centers, scales)."""
+    import jax.numpy as jnp
+
+    from stlpose_tpu.models import create_hrnet
+    from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+
+    model = create_hrnet(config_name, dtype=dtype, folded=True)
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+
+    def serve(variables, crops_u8, centers, scales):
+        x = (crops_u8.astype(jnp.float32) - mean) / std
+        hm = model.apply(variables, x, train=False)
+        preds, maxvals, hm32 = decode_heatmaps_nhwc(hm, centers, scales)
+        return {"keypoints": preds, "scores": maxvals,
+                "heatmaps": hm32}
+
+    return serve, model
+
+
+def export_pose_server(variables, out_dir: str,
+                       config_name: str = "w32_256x192",
+                       input_hw: tuple = (256, 192),
+                       platforms: Sequence[str] = ("tpu", "cpu"),
+                       fold: bool = True) -> str:
+    """Export the serving function to ``out_dir``; returns the dir.
+
+    Args:
+      variables: UNFOLDED model variables ({"params", "batch_stats"}) —
+        BN folding (an exact transform, test_fold_bn.py) is applied here
+        when ``fold`` (the export then contains no BN ops at all).
+      platforms: jax.export lowering platforms baked into the artifact.
+    """
+    import jax
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    from stlpose_tpu.models import fold_batchnorms
+
+    if fold:
+        variables = fold_batchnorms(variables)
+    serve, _ = _build_serving_fn(config_name, jnp.bfloat16)
+
+    H, W = input_hw
+    b = jexport.symbolic_shape("b")[0]
+    crops_spec = jax.ShapeDtypeStruct((b, H, W, 3), jnp.uint8)
+    cs_spec = jax.ShapeDtypeStruct((b, 2), jnp.float32)
+    var_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), variables)
+
+    exported = jexport.export(
+        jax.jit(serve), platforms=tuple(platforms))(
+        var_specs, crops_spec, cs_spec, cs_spec)
+    blob = exported.serialize()
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "format": "jax.export/stablehlo",
+        "config": config_name,
+        "input": {"crops": ["b", H, W, 3, "uint8"],
+                  "centers": ["b", 2, "float32"],
+                  "scales": ["b", 2, "float32"]},
+        "output": ["keypoints (b,J,2)", "scores (b,J,1)",
+                   "heatmaps (b,Hh,Hw,J)"],
+        "platforms": list(platforms),
+        "bn_folded": bool(fold),
+        "compute_dtype": "bfloat16",
+        "jax_version": jax.__version__,
+        "calling_convention_version":
+            int(exported.calling_convention_version),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
+def load_pose_server(out_dir: str) -> tuple[Callable, dict]:
+    """Deserialize an exported artifact; returns (callable, manifest).
+
+    The callable has signature (variables, crops_u8, centers, scales) ->
+    {"keypoints", "scores", "heatmaps"} and runs under jax.jit.
+    """
+    import jax
+    from jax import export as jexport
+
+    with open(os.path.join(out_dir, "model.stablehlo"), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    return jax.jit(exported.call), manifest

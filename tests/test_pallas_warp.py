@@ -120,3 +120,36 @@ def test_crop_from_center_scale_pallas_exact(monkeypatch):
     # nested-lerp vs 4-tap-sum f32 rounding only (~3e-5 relative at 255)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-2, rtol=0)
+
+
+@pytest.mark.parametrize("s,c,n", [(128, 1, 1), (512, 3, 2)])
+def test_kernel_shape_edges(s, c, n):
+    """Minimal canvas (one 128-lane chunk), single channel, batch 1, and a
+    larger canvas all go through the chunk/tile decomposition correctly."""
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.rand(n, s, s, c).astype(np.float32) * 255)
+    cen = jnp.asarray(rng.uniform(s * 0.3, s * 0.7, (n, 2)).astype(np.float32))
+    sca = jnp.asarray(np.full((n, 2), s / 800.0, np.float32))
+    rot = jnp.asarray(rng.uniform(-50, 50, (n,)).astype(np.float32))
+    zero = jnp.zeros((n,), jnp.float32)
+    # rot=0 exact at every geometry
+    ref = affine_warp(imgs, cen, sca, zero, OUT)
+    out = affine_warp_pallas(imgs, cen, sca, zero, OUT, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-2, rtol=0)
+    # rotated: finite and in-range (filter parity pinned elsewhere)
+    out = affine_warp_pallas(imgs, cen, sca, rot, OUT, interpret=True)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.min() >= 0.0 and o.max() <= 255.001
+
+
+def test_may_rotate_false_matches_default_at_rot0():
+    rng = np.random.RandomState(6)
+    n, s = 2, 256
+    imgs = jnp.asarray(rng.rand(n, s, s, 3).astype(np.float32) * 255)
+    cen, sca = _params(n, s)
+    zero = jnp.zeros((n,), jnp.float32)
+    a = affine_warp_pallas(imgs, cen, sca, zero, OUT, interpret=True)
+    b = affine_warp_pallas(imgs, cen, sca, zero, OUT, interpret=True,
+                           may_rotate=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,72 @@
+"""AOT serving export (stlpose_tpu/serving): serialize -> reload -> exact
+agreement with the live folded model, batch polymorphism, manifest."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stlpose_tpu.models import create_hrnet, fold_batchnorms
+from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+from stlpose_tpu.serving import export_pose_server, load_pose_server
+
+CONFIG = "tiny"
+HW = (64, 64)
+
+
+def _make_variables():
+    model = create_hrnet(CONFIG)
+    return model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1,) + HW + (3,)), train=False)
+
+
+def test_export_reload_exact_and_batch_polymorphic(tmp_path):
+    variables = _make_variables()
+    out = export_pose_server(variables, str(tmp_path / "m"),
+                             config_name=CONFIG, input_hw=HW,
+                             platforms=("cpu",))
+    serve, manifest = load_pose_server(out)
+    assert manifest["bn_folded"] and manifest["config"] == CONFIG
+
+    folded = fold_batchnorms(variables)
+    model = create_hrnet(CONFIG, dtype=jnp.bfloat16, folded=True)
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+
+    rng = np.random.RandomState(0)
+    for batch in (2, 5):                 # one artifact, multiple batches
+        crops = jnp.asarray(rng.randint(0, 256, (batch,) + HW + (3,),
+                                        dtype=np.uint8))
+        centers = jnp.asarray(rng.uniform(50, 200, (batch, 2)), jnp.float32)
+        scales = jnp.ones((batch, 2), jnp.float32)
+
+        got = serve(folded, crops, centers, scales)
+        x = (crops.astype(jnp.float32) - mean) / std
+        hm = model.apply(folded, x, train=False)
+        preds, maxvals, _ = decode_heatmaps_nhwc(hm, centers, scales)
+
+        assert got["keypoints"].shape == preds.shape
+        np.testing.assert_allclose(np.asarray(got["keypoints"]),
+                                   np.asarray(preds), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got["scores"]),
+                                   np.asarray(maxvals), atol=1e-5)
+
+
+def test_export_artifact_is_self_contained(tmp_path):
+    """The artifact file round-trips through raw bytes (no live objects)."""
+    variables = _make_variables()
+    out = export_pose_server(variables, str(tmp_path / "m"),
+                             config_name=CONFIG, input_hw=HW,
+                             platforms=("cpu",))
+    blob = (tmp_path / "m" / "model.stablehlo").read_bytes()
+    assert len(blob) > 1000
+    # byte-identical copy loads and runs
+    (tmp_path / "copy").mkdir()
+    (tmp_path / "copy" / "model.stablehlo").write_bytes(blob)
+    (tmp_path / "copy" / "manifest.json").write_text(
+        (tmp_path / "m" / "manifest.json").read_text())
+    serve, _ = load_pose_server(str(tmp_path / "copy"))
+    folded = fold_batchnorms(variables)
+    crops = jnp.zeros((1,) + HW + (3,), jnp.uint8)
+    c = jnp.ones((1, 2), jnp.float32) * 50
+    got = serve(folded, crops, c, c)
+    assert np.isfinite(np.asarray(got["scores"])).all()
