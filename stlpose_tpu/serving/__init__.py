@@ -1,4 +1,6 @@
-from stlpose_tpu.serving.export import (export_pose_server,
+from stlpose_tpu.serving.export import (export_detector_server,
+                                        export_pose_server,
                                         load_pose_server)
 
-__all__ = ["export_pose_server", "load_pose_server"]
+__all__ = ["export_detector_server", "export_pose_server",
+           "load_pose_server"]

@@ -110,11 +110,68 @@ def export_pose_server(variables, out_dir: str,
     return out_dir
 
 
+def export_detector_server(variables, out_dir: str,
+                           family: str = "faster_rcnn",
+                           config=None,
+                           platforms: Sequence[str] = ("tpu", "cpu")) -> str:
+    """Export a detector's full inference program (backbone + proposal /
+    anchor machinery + static NMS postprocess -> padded
+    {boxes, scores, labels, valid}) the same way as the pose server.
+
+    The batch dimension is symbolic for EfficientDet; Faster R-CNN's
+    proposal machinery vmaps over the batch with static per-image shapes,
+    which jax.export handles symbolically as well.
+    """
+    import jax
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    if family == "faster_rcnn":
+        from stlpose_tpu.models.faster_rcnn import FasterRCNN
+        det = FasterRCNN(config) if config is not None else FasterRCNN()
+    elif family == "efficientdet":
+        from stlpose_tpu.models.efficientdet import (EfficientDet,
+                                                     EFFICIENTDET_D0)
+        det = EfficientDet(config if config is not None else
+                           EFFICIENTDET_D0)
+    else:
+        raise ValueError(f"unknown detector family: {family}")
+
+    S = det.config.image_size
+    b = jexport.symbolic_shape("b")[0]
+    img_spec = jax.ShapeDtypeStruct((b, S, S, 3), jnp.float32)
+    var_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), variables)
+
+    exported = jexport.export(
+        jax.jit(det.predict), platforms=tuple(platforms))(
+        var_specs, img_spec)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    manifest = {
+        "format": "jax.export/stablehlo",
+        "family": family,
+        "input": {"images": ["b", S, S, 3, "float32 (0-1 RGB)"]},
+        "output": ["boxes (b,D,4)", "scores (b,D)", "labels (b,D)",
+                   "valid (b,D)"],
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "calling_convention_version":
+            int(exported.calling_convention_version),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
 def load_pose_server(out_dir: str) -> tuple[Callable, dict]:
     """Deserialize an exported artifact; returns (callable, manifest).
 
-    The callable has signature (variables, crops_u8, centers, scales) ->
-    {"keypoints", "scores", "heatmaps"} and runs under jax.jit.
+    For pose artifacts the callable signature is (variables, crops_u8,
+    centers, scales) -> {"keypoints", "scores", "heatmaps"}; for detector
+    artifacts it is (variables, images) -> {"boxes", "scores", "labels",
+    "valid"}. Both run under jax.jit.
     """
     import jax
     from jax import export as jexport

@@ -70,3 +70,32 @@ def test_export_artifact_is_self_contained(tmp_path):
     c = jnp.ones((1, 2), jnp.float32) * 50
     got = serve(folded, crops, c, c)
     assert np.isfinite(np.asarray(got["scores"])).all()
+
+
+def test_detector_export_round_trip(tmp_path):
+    """Both detector families export and reload; reloaded predictions
+    match the live predict exactly."""
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
+    from stlpose_tpu.models.efficientdet import (EfficientDet,
+                                                 EFFICIENTDET_TINY)
+    from stlpose_tpu.serving import export_detector_server
+
+    rng = np.random.RandomState(1)
+    for family, det in (("faster_rcnn", FasterRCNN(FASTER_RCNN_TINY)),
+                        ("efficientdet", EfficientDet(EFFICIENTDET_TINY))):
+        v = det.init(jax.random.PRNGKey(0))
+        cfg = (FASTER_RCNN_TINY if family == "faster_rcnn"
+               else EFFICIENTDET_TINY)
+        out = export_detector_server(v, str(tmp_path / family),
+                                     family=family, config=cfg,
+                                     platforms=("cpu",))
+        serve, manifest = load_pose_server(out)
+        assert manifest["family"] == family
+        S = det.config.image_size
+        imgs = jnp.asarray(rng.rand(2, S, S, 3).astype(np.float32))
+        got = serve(v, imgs)
+        ref = jax.jit(det.predict)(v, imgs)
+        np.testing.assert_allclose(np.asarray(got["boxes"]),
+                                   np.asarray(ref["boxes"]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got["labels"]),
+                                      np.asarray(ref["labels"]))
