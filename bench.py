@@ -292,7 +292,9 @@ def main():
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "tta", "detector",
                              "efficientdet", "sweep"])
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=256,
+                    help="batch size (256 is the measured single-chip "
+                         "knee — BENCH_extra.json sweep)")
     ap.add_argument("--batches", default="256,512,1024")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
