@@ -16,7 +16,6 @@ on device.
 
 from __future__ import annotations
 
-import copy
 import json
 import os
 import time

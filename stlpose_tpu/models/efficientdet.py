@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stlpose_tpu.models.efficientnet import EfficientNet, SCALING
+from stlpose_tpu.models.efficientnet import EfficientNet
 from stlpose_tpu.ops.boxes import (box_iou, encode_boxes, decode_boxes,
                                    clip_boxes, smooth_l1)
 from stlpose_tpu.ops.nms import box_nms_jax

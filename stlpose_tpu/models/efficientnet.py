@@ -13,7 +13,7 @@ without it).
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ Detections come back torchvision-style as fixed-size padded
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Sequence
 
 import flax.linen as nn

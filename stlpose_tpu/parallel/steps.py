@@ -13,7 +13,6 @@ The step donates the train state so parameters update in place in HBM.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
