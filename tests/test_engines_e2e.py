@@ -95,3 +95,24 @@ class TestCreateExperimentCLI:
         assert os.path.isdir(os.path.join(exp_path, "models"))
         assert os.path.isdir(os.path.join(exp_path, "plots"))
         assert os.path.exists(os.path.join(exp_path, "logs.txt"))
+
+
+def test_serving_export_cli_from_checkpoint(workspace):
+    """08_export_serving exports the trained final checkpoint as a
+    loadable StableHLO artifact (depends on test_trainer_two_epochs
+    having produced <exp>/models/final)."""
+    data, exp_path = workspace
+    if not any("final" in m
+               for m in os.listdir(os.path.join(exp_path, "models"))):
+        pytest.skip("trainer test did not run first")
+    env = dict(os.environ, STLPOSE_MODEL_CONFIG="tiny",
+               STLPOSE_PRETRAINED="")
+    out = subprocess.run(
+        [sys.executable, "scripts/08_export_serving.py", "-d", exp_path,
+         "--checkpoint", "final", "--platforms", "cpu"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    export_dir = os.path.join(exp_path, "serving_export")
+    assert os.path.exists(os.path.join(export_dir, "model.stablehlo"))
+    manifest = json.load(open(os.path.join(export_dir, "manifest.json")))
+    assert manifest["config"] == "tiny" and manifest["bn_folded"]
