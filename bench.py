@@ -292,10 +292,12 @@ def main():
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "tta", "detector",
                              "efficientdet", "sweep"])
-    ap.add_argument("--batch", type=int, default=256,
-                    help="batch size (256 is the measured single-chip "
-                         "knee — BENCH_extra.json sweep)")
-    ap.add_argument("--batches", default="256,512,1024")
+    ap.add_argument("--batch", type=int, default=128,
+                    help="batch size (128 is the measured single-chip "
+                         "knee: 6.28k crops/s vs 5.9k at 256 and 4.9k at "
+                         "192 — the sweep is non-monotonic, 1.5x128 "
+                         "geometries tile the MXU badly)")
+    ap.add_argument("--batches", default="128,256,512")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--no-fold", action="store_true",
