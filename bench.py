@@ -287,11 +287,72 @@ def bench_efficientdet(batch, iters, warmup):
                        "iters": iters, "checksum": round(chk, 2)}}
 
 
+def bench_two_stage(batch, iters, warmup, dets_per_img=16):
+    """Full two-stage serving pipeline on device: Faster R-CNN detect ->
+    per-detection Pallas crop warp -> folded-BN bf16 HRNet -> decode
+    (the 04_evaluate_vases flow, reference: 04_...py:76-263), imgs/sec."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from stlpose_tpu.models import create_hrnet, fold_batchnorms
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN
+    from stlpose_tpu.ops.affine import coords_to_center_scale
+    from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+    from stlpose_tpu.ops.warp import crop_from_center_scale
+
+    det = FasterRCNN()
+    S = det.config.image_size
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        det_vars = det.init(jax.random.PRNGKey(0))
+    det_vars = jax.device_put(det_vars, jax.devices()[0])
+
+    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
+    pose_vars = _init_variables(jax, base, (1, 256, 192, 3),
+                                to_device=False)
+    pose = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
+    pose_vars = jax.device_put(fold_batchnorms(pose_vars), jax.devices()[0])
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+    @jax.jit
+    def pipeline(det_vars, pose_vars, images, chain):
+        out = det.predict(det_vars, images + chain * 0.0)
+        boxes = out["boxes"][:, :dets_per_img]          # (B, D, 4)
+        # per-image shared-canvas crop extraction (static unroll over the
+        # small image batch), then ONE batched pose forward over B*D crops
+        crops, cs, ss = [], [], []
+        for i in range(images.shape[0]):
+            c, s = coords_to_center_scale(boxes[i], 192.0 / 256.0)
+            crops.append(crop_from_center_scale(images[i], c, s,
+                                                (192, 256)))
+            cs.append(c)
+            ss.append(s)
+        x = (jnp.concatenate(crops) - mean) / std
+        hm = pose.apply(pose_vars, x, train=False)
+        preds, maxvals, _ = decode_heatmaps_nhwc(
+            hm, jnp.concatenate(cs), jnp.concatenate(ss))
+        return jnp.sum(preds) + jnp.sum(maxvals)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, S, S, 3).astype(np.float32))
+    per_iter, chk = _chained_time(
+        pipeline, lambda c: (det_vars, pose_vars, images, c), iters, warmup)
+    return {"metric": "two_stage_pipeline_throughput",
+            "value": round(batch / per_iter, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "detail": {"batch": batch, "detections_per_image": dets_per_img,
+                       "pose_crops_per_sec":
+                           round(batch * dets_per_img / per_iter, 1),
+                       "ms_per_iter": round(per_iter * 1000, 2),
+                       "iters": iters, "checksum": round(chk, 2)}}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "tta", "detector",
-                             "efficientdet", "sweep"])
+                             "efficientdet", "twostage", "sweep"])
     ap.add_argument("--batch", type=int, default=128,
                     help="batch size (128 is the measured single-chip "
                          "knee: 6.28k crops/s vs 5.9k at 256 and 4.9k at "
@@ -320,6 +381,9 @@ def main():
     elif args.mode == "efficientdet":
         result = bench_efficientdet(min(args.batch, 16), args.iters,
                                     args.warmup)
+    elif args.mode == "twostage":
+        result = bench_two_stage(min(args.batch, 8), args.iters,
+                                 args.warmup)
     else:  # sweep
         runs = [bench_infer(int(b), args.iters, args.warmup)
                 for b in args.batches.split(",")]
