@@ -319,7 +319,8 @@ class EfficientDet:
             boxes = clip_boxes(boxes, (cfg.image_size, cfg.image_size))
             ok = top_s > cfg.score_thresh
             keep = box_nms_jax(boxes, jnp.where(ok, top_s, -jnp.inf),
-                               cfg.nms_thresh, valid_mask=ok)
+                               cfg.nms_thresh, valid_mask=ok,
+                               max_keep=cfg.detections_per_img)
             sc = jnp.where(keep & ok, top_s, -jnp.inf)
             out_s, oi = jax.lax.top_k(sc, cfg.detections_per_img)
             return (boxes[oi], jnp.maximum(out_s, 0.0),

@@ -284,7 +284,8 @@ def select_proposals(cfg, anchors_per_level, logits, deltas, train: bool):
     # each other (torchvision's batched_nms trick)
     offset = levels[:, None] * (cfg.image_size * 2.0)
     keep = box_nms_jax(boxes + offset, jnp.where(wh_ok, scores, -jnp.inf),
-                       cfg.rpn_nms_thresh, valid_mask=wh_ok)
+                       cfg.rpn_nms_thresh, valid_mask=wh_ok,
+                       max_keep=post_n)
     masked = jnp.where(keep, scores, -jnp.inf)
     top_s, top_i = jax.lax.top_k(masked, post_n)
     return boxes[top_i], top_s
@@ -462,7 +463,8 @@ class FasterRCNN:
                 sc = scores[:, c]
                 ok = sc > cfg.score_thresh
                 keep = box_nms_jax(boxes, jnp.where(ok, sc, -jnp.inf),
-                                   cfg.nms_thresh, valid_mask=ok)
+                                   cfg.nms_thresh, valid_mask=ok,
+                                   max_keep=cfg.detections_per_img)
                 out_boxes.append(boxes)
                 out_scores.append(jnp.where(keep & ok, sc, -jnp.inf))
                 out_labels.append(jnp.full(sc.shape, c, jnp.int32))

@@ -14,6 +14,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# static short-axis patch budget for the fast FPN RoIAlign: the canonical
+# level-assignment rule caps a box's on-level area at ~28^2 map pixels
+# (sqrt(wh)/2^k <= 28 after the floor), so min(extent_x, extent_y) <= 28;
+# +1 border margin each side still fits 32 rows
+SHORT_EXTENT = 32
+
 
 def roi_align_single_level(features, boxes, output_size: int = 7,
                            sampling_ratio: int = 2,
@@ -82,31 +88,144 @@ def roi_align_single_level(features, boxes, output_size: int = 7,
     return samples.mean(axis=(2, 4))
 
 
-def multilevel_roi_align(feature_levels, boxes, strides,
-                         output_size: int = 7, sampling_ratio: int = 2,
-                         canonical_scale: float = 224.0,
-                         canonical_level: int = 4):
-    """FPN RoIAlign: assign each box to a pyramid level by its scale
-    (k = k0 + log2(sqrt(area)/224), clamped) and gather from that level.
-
-    Args:
-      feature_levels: list of (H_l, W_l, C) maps, fine->coarse (P2..P5).
-      boxes: (P, 4) xyxy in image coordinates.
-      strides: per-level stride (4, 8, 16, 32).
-    Returns (P, output_size, output_size, C).
-    """
+def _assign_levels(boxes, n_levels, canonical_scale, canonical_level):
+    """Canonical FPN assignment k = floor(k0 + log2(sqrt(area)/224)),
+    clipped to the available levels (torchvision LevelMapper)."""
     areas = jnp.maximum(0.0, boxes[:, 2] - boxes[:, 0]) * \
         jnp.maximum(0.0, boxes[:, 3] - boxes[:, 1])
     k = jnp.floor(canonical_level +
                   jnp.log2(jnp.sqrt(areas) / canonical_scale + 1e-8))
-    min_level = 2
-    k = jnp.clip(k, min_level, min_level + len(feature_levels) - 1)
+    return jnp.clip(k, 2, 2 + n_levels - 1)
 
+
+def multilevel_roi_align_reference(feature_levels, boxes, strides,
+                                   output_size: int = 7,
+                                   sampling_ratio: int = 2,
+                                   canonical_scale: float = 224.0,
+                                   canonical_level: int = 4):
+    """FPN RoIAlign, straightforward formulation: sample EVERY level for
+    every box and mask-select the assigned one. Semantically the spec
+    (oracle for the fast path below), but 4x the necessary gather work —
+    and XLA lowers the 2-D bilinear gathers to slow HBM gathers, which
+    made this ~95% of detector inference time at batch 16.
+    """
+    k = _assign_levels(boxes, len(feature_levels), canonical_scale,
+                       canonical_level)
     out = None
     for li, (feat, stride) in enumerate(zip(feature_levels, strides)):
         pooled = roi_align_single_level(
             feat, boxes, output_size, sampling_ratio,
             spatial_scale=1.0 / stride)
-        mask = (k == min_level + li).astype(pooled.dtype)[:, None, None, None]
+        mask = (k == 2 + li).astype(pooled.dtype)[:, None, None, None]
         out = pooled * mask if out is None else out + pooled * mask
     return out
+
+
+def _banded_interp_weights(pos, size, origin, extent):
+    """(P, ns, extent) bilinear interpolation matrix for 1-D sample
+    positions against patch-relative rows.
+
+    Encodes torchvision's border rules exactly: positions outside
+    [-1, size] contribute 0; positions in [-1, 0] clamp to row 0; the
+    high tap clamps to the last row (frac hits 0 exactly at size-1).
+    """
+    inside = (pos >= -1.0) & (pos <= size[:, None])
+    pc = jnp.clip(pos, 0.0, size[:, None] - 1.0)
+    p0 = jnp.floor(pc)
+    frac = pc - p0
+    rel0 = (p0 - origin[:, None])[..., None]                 # (P, ns, 1)
+    r = jnp.arange(extent, dtype=pos.dtype)[None, None, :]
+    w = ((r == rel0) * (1.0 - frac)[..., None] +
+         (r == rel0 + 1.0) * frac[..., None])
+    return w * inside[..., None].astype(pos.dtype)
+
+
+def multilevel_roi_align(feature_levels, boxes, strides,
+                         output_size: int = 7, sampling_ratio: int = 2,
+                         canonical_scale: float = 224.0,
+                         canonical_level: int = 4):
+    """FPN RoIAlign as patch extraction + two banded MATMULS (MXU work,
+    zero point-gathers). Bit-equivalent to the reference formulation
+    above (pinned by tests/test_roi_align_fast.py) but ~an order of
+    magnitude faster on TPU.
+
+    How: each box reads ONLY its assigned level. The canonical assignment
+    rule bounds a box's on-level area to ~28^2 map pixels, so the box's
+    SMALLER axis always fits a static 32-row patch; the longer axis gets
+    the level's full (padded) extent. Per box we dynamic-slice one
+    (32, PAD) x C patch (wide boxes) or (PAD, 32) x C patch (tall boxes)
+    — contiguous block copies, not gathers — then resample with two
+    banded bilinear-interpolation matmuls (separable regular sample grid)
+    and average-pool sr^2 taps per bin. Both bucket orientations are
+    computed and mask-selected to keep shapes static.
+    """
+    L = len(feature_levels)
+    C = feature_levels[0].shape[-1]
+    n, sr = output_size, sampling_ratio
+    ns = n * sr
+    P = boxes.shape[0]
+    dtype = feature_levels[0].dtype
+    maxHW = max(max(f.shape[0], f.shape[1]) for f in feature_levels)
+    PAD = max(2 * SHORT_EXTENT, -(-maxHW // 8) * 8)
+    # pad every level to (PAD, PAD), stack, and append the spatially
+    # TRANSPOSED copy: tall boxes slice from the transposed half with x/y
+    # swapped, so every patch has its SHORT axis on rows — one uniform
+    # bucket instead of computing both orientations for every box
+    pyramid = jnp.stack([
+        jnp.pad(f, ((0, PAD - f.shape[0]), (0, PAD - f.shape[1]), (0, 0)))
+        for f in feature_levels])                            # (L,PAD,PAD,C)
+    pyramid = jnp.concatenate(
+        [pyramid, jnp.swapaxes(pyramid, 1, 2)])              # (2L,...)
+    sizes = jnp.asarray([[f.shape[0], f.shape[1]]
+                         for f in feature_levels], jnp.float32)
+
+    k = _assign_levels(boxes, L, canonical_scale, canonical_level)
+    li = (k - 2).astype(jnp.int32)                           # (P,)
+    stride = jnp.asarray(strides, jnp.float32)[li]
+    size_h = sizes[li, 0]
+    size_w = sizes[li, 1]
+
+    b = boxes / stride[:, None]
+    x1, y1 = b[:, 0], b[:, 1]
+    roi_w = jnp.maximum(b[:, 2] - x1, 1.0)
+    roi_h = jnp.maximum(b[:, 3] - y1, 1.0)
+
+    # regular sample grid in bin units: (p // sr) + (p % sr + 0.5) / sr
+    p_idx = jnp.arange(ns)
+    grid = (p_idx // sr + (p_idx % sr + 0.5) / sr).astype(jnp.float32)
+    px = x1[:, None] + grid[None, :] * (roi_w / n)[:, None]  # (P, ns)
+    py = y1[:, None] + grid[None, :] * (roi_h / n)[:, None]
+
+    # per-box orientation: short axis onto patch rows
+    wide = roi_w >= roi_h                                    # short axis = y
+    w3 = wide[:, None, None]
+    pos_s = jnp.where(wide[:, None], py, px)
+    pos_l = jnp.where(wide[:, None], px, py)
+    size_s = jnp.where(wide, size_h, size_w)
+    size_l = jnp.where(wide, size_w, size_h)
+    src = jnp.where(wide, li, li + L)                # transposed half: tall
+
+    o_s = jnp.clip(jnp.floor(pos_s.min(axis=1)) - 1.0, 0.0,
+                   float(PAD - SHORT_EXTENT)).astype(jnp.int32)
+    Ws = _banded_interp_weights(pos_s, size_s, o_s.astype(jnp.float32),
+                                SHORT_EXTENT)                # (P,ns,SHORT)
+    Wl = _banded_interp_weights(pos_l, size_l,
+                                jnp.zeros((P,), jnp.float32), PAD)
+
+    def slice_one(lvl, os_):
+        return jax.lax.dynamic_slice(pyramid, (lvl, os_, 0, 0),
+                                     (1, SHORT_EXTENT, PAD, C))[0]
+
+    patch = jax.vmap(slice_one)(src, o_s)            # (P, SHORT, PAD, C)
+    # interpolation matmuls in the FEATURE dtype (bf16 mode halves patch
+    # traffic; jnp would otherwise silently promote bf16 x f32 -> f32)
+    Ws = Ws.astype(dtype)
+    Wl = Wl.astype(dtype)
+    h = jnp.einsum("bps,bswc->bpwc", Ws, patch)      # (P, ns, PAD, C)
+    out = jnp.einsum("bqw,bpwc->bpqc", Wl, h)        # (P, ns_s, ns_l, C)
+    # sr^2 bin pooling is per-axis and orientation-independent, so pool
+    # FIRST, then restore (y, x) order for tall boxes (rows were x) on the
+    # sr^2-smaller pooled tensor
+    out = out.reshape(P, n, sr, n, sr, C).mean(axis=(2, 4))
+    out = jnp.where(w3[..., None], out, jnp.swapaxes(out, 1, 2))
+    return out.astype(dtype)

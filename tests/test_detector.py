@@ -149,9 +149,12 @@ class TestFasterRCNN:
             return (optax.apply_updates(params, updates), new_stats,
                     opt_state, loss)
 
+        # 90 steps: the 60-step run was trajectory-marginal — a numerically
+        # equivalent (1e-7) RoIAlign reformulation flipped the post-NMS
+        # detection below the 0.05 score threshold at this seed
         losses = []
         key = jax.random.PRNGKey(1)
-        for i in range(60):
+        for i in range(90):
             key, sub = jax.random.split(key)
             params, stats, opt_state, loss = step(params, stats, opt_state,
                                                   sub)

@@ -248,3 +248,38 @@ class TestNMS:
         # global argmax and drop heavily-overlapped clones
         assert int(np.argmax(dets[:, 4])) in keep_host
         assert int(np.argmax(dets[:, 4])) in keep_dev_idx
+
+
+class TestNmsTopK:
+    def test_pick_argmax_matches_full_greedy_prefix(self, rng):
+        """max_keep mode must return exactly the first max_keep survivors
+        of the full greedy formulation (what the top_k-following callers
+        consume), across random geometry, invalid masks, and ties."""
+        for trial in range(8):
+            M = 200
+            xy = rng.uniform(0, 300, size=(M, 2))
+            wh = rng.uniform(10, 150, size=(M, 2))
+            boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1),
+                                jnp.float32)
+            scores = np.round(rng.uniform(size=(M,)), 2)  # induce ties
+            valid = rng.uniform(size=(M,)) > 0.2
+            s = jnp.asarray(np.where(valid, scores, -np.inf), jnp.float32)
+            vm = jnp.asarray(valid)
+            full = np.asarray(nms.box_nms_jax(boxes, s, 0.5, valid_mask=vm))
+            for k in (1, 10, 50):
+                topk = np.asarray(nms.box_nms_jax(boxes, s, 0.5,
+                                                  valid_mask=vm,
+                                                  max_keep=k))
+                # expected: the k highest-scoring survivors of `full`
+                surv = np.nonzero(full)[0]
+                order = surv[np.argsort(-scores[surv], kind="stable")]
+                expect = np.zeros(full.shape, bool)
+                expect[order[:k]] = True
+                np.testing.assert_array_equal(topk, expect)
+
+    def test_max_keep_larger_than_survivors(self, rng):
+        boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]],
+                            jnp.float32)
+        s = jnp.asarray([0.9, 0.8], jnp.float32)
+        keep = np.asarray(nms.box_nms_jax(boxes, s, 0.5, max_keep=64))
+        assert keep.all()
