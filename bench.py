@@ -221,13 +221,16 @@ def bench_train(batch, iters, warmup, dtype="float32"):
                        "iters": iters, "loss": round(chk, 4)}}
 
 
-def bench_detector(batch, iters, warmup):
-    """Faster R-CNN inference (fwd + proposals + heads + NMS) images/sec."""
+def bench_detector(batch, iters, warmup, dtype="float32"):
+    """Faster R-CNN inference (fwd + proposals + heads + NMS) images/sec.
+
+    dtype="bfloat16" benches the mixed-precision serving configuration
+    (backbone/FPN/heads and the RoIAlign interpolation matmuls in bf16)."""
     jax = _setup()
     import jax.numpy as jnp
     from stlpose_tpu.models.faster_rcnn import FasterRCNN
 
-    model = FasterRCNN()                    # full-scale default config
+    model = FasterRCNN(dtype=jnp.dtype(dtype))
     S = model.config.image_size
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -244,11 +247,12 @@ def bench_detector(batch, iters, warmup):
     images = jnp.asarray(rng.rand(batch, S, S, 3).astype(np.float32))
     per_iter, chk = _chained_time(
         infer, lambda c: (variables, images, c), iters, warmup)
-    return {"metric": "faster_rcnn_inference_throughput",
+    suffix = "" if dtype == "float32" else "_bf16"
+    return {"metric": f"faster_rcnn_inference_throughput{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "images/sec/chip",
             "vs_baseline": None,
-            "detail": {"batch": batch, "image_size": S,
+            "detail": {"batch": batch, "image_size": S, "dtype": dtype,
                        "ms_per_iter": round(per_iter * 1000, 2),
                        "iters": iters, "checksum": round(chk, 2)}}
 
@@ -377,7 +381,8 @@ def main():
         result = bench_train(min(args.batch, 128), args.iters, args.warmup,
                              dtype=args.dtype)
     elif args.mode == "detector":
-        result = bench_detector(min(args.batch, 16), args.iters, args.warmup)
+        result = bench_detector(min(args.batch, 16), args.iters,
+                                args.warmup, dtype=args.dtype)
     elif args.mode == "efficientdet":
         result = bench_efficientdet(min(args.batch, 16), args.iters,
                                     args.warmup)
