@@ -291,10 +291,12 @@ def bench_efficientdet(batch, iters, warmup):
                        "iters": iters, "checksum": round(chk, 2)}}
 
 
-def bench_two_stage(batch, iters, warmup, dets_per_img=16):
+def bench_two_stage(batch, iters, warmup, dets_per_img=16,
+                    dtype="float32"):
     """Full two-stage serving pipeline on device: Faster R-CNN detect ->
     per-detection Pallas crop warp -> folded-BN bf16 HRNet -> decode
-    (the 04_evaluate_vases flow, reference: 04_...py:76-263), imgs/sec."""
+    (the 04_evaluate_vases flow, reference: 04_...py:76-263), imgs/sec.
+    ``dtype`` sets the DETECTOR's compute dtype (pose is always bf16)."""
     jax = _setup()
     import jax.numpy as jnp
     from stlpose_tpu.models import create_hrnet, fold_batchnorms
@@ -303,7 +305,7 @@ def bench_two_stage(batch, iters, warmup, dets_per_img=16):
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
     from stlpose_tpu.ops.warp import crop_from_center_scale
 
-    det = FasterRCNN()
+    det = FasterRCNN(dtype=jnp.dtype(dtype))
     S = det.config.image_size
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -341,11 +343,13 @@ def bench_two_stage(batch, iters, warmup, dets_per_img=16):
     images = jnp.asarray(rng.rand(batch, S, S, 3).astype(np.float32))
     per_iter, chk = _chained_time(
         pipeline, lambda c: (det_vars, pose_vars, images, c), iters, warmup)
-    return {"metric": "two_stage_pipeline_throughput",
+    suffix = "" if dtype == "float32" else "_bf16"
+    return {"metric": f"two_stage_pipeline_throughput{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "images/sec/chip",
             "vs_baseline": None,
             "detail": {"batch": batch, "detections_per_image": dets_per_img,
+                       "detector_dtype": dtype,
                        "pose_crops_per_sec":
                            round(batch * dets_per_img / per_iter, 1),
                        "ms_per_iter": round(per_iter * 1000, 2),
@@ -388,7 +392,7 @@ def main():
                                     args.warmup)
     elif args.mode == "twostage":
         result = bench_two_stage(min(args.batch, 8), args.iters,
-                                 args.warmup)
+                                 args.warmup, dtype=args.dtype)
     else:  # sweep
         runs = [bench_infer(int(b), args.iters, args.warmup)
                 for b in args.batches.split(",")]
