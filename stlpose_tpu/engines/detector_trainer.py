@@ -35,6 +35,15 @@ from stlpose_tpu.utils.experiment import (load_detector_logs,
                                           save_evaluation_stats)
 from stlpose_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
 
+def _detector_dtype():
+    """Compute dtype for detectors: f32 default, bf16 via
+    STLPOSE_DTYPE=bfloat16 (same knob as the pose engines; ~2x detector
+    inference on TPU — PROFILE_detector.md)."""
+    import jax.numpy as jnp
+    return jnp.bfloat16 if os.environ.get("STLPOSE_DTYPE") == "bfloat16" \
+        else jnp.float32
+
+
 def _efficientdet_factory(cfg_name):
     def make():
         from stlpose_tpu.models.efficientdet import (
@@ -42,16 +51,18 @@ def _efficientdet_factory(cfg_name):
             EFFICIENTDET_TINY)
         cfg = {"d0": EFFICIENTDET_D0, "d3": EFFICIENTDET_D3,
                "tiny": EFFICIENTDET_TINY}[cfg_name]
-        return EfficientDet(cfg), cfg
+        return EfficientDet(cfg, dtype=_detector_dtype()), cfg
     return make
 
 
 DETECTOR_CONFIGS = {
     # the reference's detector vocabulary: faster_rcnn default,
     # efficientdet d0/d3 via detector_type (lib/model_setup.py:50-95)
-    "faster_rcnn": lambda: (FasterRCNN(FasterRCNNConfig()),
+    "faster_rcnn": lambda: (FasterRCNN(FasterRCNNConfig(),
+                                       dtype=_detector_dtype()),
                             FasterRCNNConfig()),
-    "faster_rcnn_tiny": lambda: (FasterRCNN(FASTER_RCNN_TINY),
+    "faster_rcnn_tiny": lambda: (FasterRCNN(FASTER_RCNN_TINY,
+                                            dtype=_detector_dtype()),
                                  FASTER_RCNN_TINY),
     "efficientdet": _efficientdet_factory("d0"),
     "efficientdet_d0": _efficientdet_factory("d0"),
