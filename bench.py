@@ -303,8 +303,12 @@ def bench_two_stage(batch, iters, warmup, dets_per_img=16,
     from stlpose_tpu.models.faster_rcnn import FasterRCNN
     from stlpose_tpu.ops.affine import coords_to_center_scale
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+    from stlpose_tpu.ops.pallas_warp import use_pallas_warp
     from stlpose_tpu.ops.warp import crop_from_center_scale
 
+    # resolve the Pallas gate OUTSIDE the jitted pipeline: reading the env
+    # inside would freeze whatever value the first trace saw (ADVICE r2)
+    pallas_crop = use_pallas_warp()
     det = FasterRCNN(dtype=jnp.dtype(dtype))
     S = det.config.image_size
     cpu = jax.devices("cpu")[0]
@@ -330,7 +334,8 @@ def bench_two_stage(batch, iters, warmup, dets_per_img=16,
         for i in range(images.shape[0]):
             c, s = coords_to_center_scale(boxes[i], 192.0 / 256.0)
             crops.append(crop_from_center_scale(images[i], c, s,
-                                                (192, 256)))
+                                                (192, 256),
+                                                use_pallas=pallas_crop))
             cs.append(c)
             ss.append(s)
         x = (jnp.concatenate(crops) - mean) / std

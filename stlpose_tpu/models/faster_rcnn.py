@@ -14,7 +14,10 @@ become fixed-size masked top-k"):
   * anchor/proposal target assignment and minibatch sampling use
     rank-based masking (randomized priorities + argsort) instead of
     dynamic index sets;
-  * RoIAlign evaluates all FPN levels and mask-selects (ops/roi_align);
+  * RoIAlign slices each box's assigned-level patch and resamples it with
+    two banded interpolation matmuls (ops/roi_align.multilevel_roi_align;
+    the sample-every-level mask-select formulation survives as the oracle
+    ``multilevel_roi_align_reference``);
   * the whole train step (backbone, RPN, heads, losses) is one jit program
     batched over images with vmap.
 

@@ -216,8 +216,11 @@ def _box_nms_topk(boxes, scores, iou_threshold, valid_mask, max_keep):
                              jnp.maximum(y1, by1)))
         iou = inter / jnp.maximum(areas + areas[i] - inter, 1e-9)
         keep = keep | ((idx == i) & ok)
-        # the pick's own IoU is 1 > thresh, so it leaves `alive` here too
-        alive = jnp.where(ok, alive & ~(iou > iou_threshold), alive)
+        # Remove the pick explicitly: a zero-area box has self-IoU 0, so
+        # relying on "own IoU is 1" would re-pick the same degenerate box
+        # forever and silently drop all lower-scored candidates.
+        alive = jnp.where(ok, alive & ~(iou > iou_threshold) & (idx != i),
+                          alive)
         return keep, alive
 
     keep, _ = jax.lax.fori_loop(0, max_keep, body,

@@ -165,6 +165,17 @@ def multilevel_roi_align(feature_levels, boxes, strides,
     ns = n * sr
     P = boxes.shape[0]
     dtype = feature_levels[0].dtype
+    # Bound check for the static patch budget: a whole-image box clamps to
+    # the coarsest level, where its SHORT axis spans min(H, W) of that map;
+    # +1 border tap each side must still fit SHORT_EXTENT rows. Holds for
+    # all current configs (image_size<=~1024 with stride-32 coarsest); for
+    # larger images fall back to multilevel_roi_align_reference.
+    coarse_min = min(feature_levels[-1].shape[0], feature_levels[-1].shape[1])
+    if coarse_min > SHORT_EXTENT - 2:
+        raise ValueError(
+            f"coarsest FPN level min-extent {coarse_min} exceeds the static "
+            f"patch budget SHORT_EXTENT-2={SHORT_EXTENT - 2}; use "
+            "multilevel_roi_align_reference for this geometry")
     maxHW = max(max(f.shape[0], f.shape[1]) for f in feature_levels)
     PAD = max(2 * SHORT_EXTENT, -(-maxHW // 8) * 8)
     # pad every level to (PAD, PAD), stack, and append the spatially
@@ -218,11 +229,18 @@ def multilevel_roi_align(feature_levels, boxes, strides,
 
     patch = jax.vmap(slice_one)(src, o_s)            # (P, SHORT, PAD, C)
     # interpolation matmuls in the FEATURE dtype (bf16 mode halves patch
-    # traffic; jnp would otherwise silently promote bf16 x f32 -> f32)
+    # traffic; jnp would otherwise silently promote bf16 x f32 -> f32).
+    # f32 path forces full MXU precision: TPU matmuls default to reduced
+    # precision for f32 operands, which would break the bit-equivalence
+    # to the gather formulation that the tests pin (CLAUDE.md gotcha).
     Ws = Ws.astype(dtype)
     Wl = Wl.astype(dtype)
-    h = jnp.einsum("bps,bswc->bpwc", Ws, patch)      # (P, ns, PAD, C)
-    out = jnp.einsum("bqw,bpwc->bpqc", Wl, h)        # (P, ns_s, ns_l, C)
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+    h = jnp.einsum("bps,bswc->bpwc", Ws, patch,
+                   precision=prec)                   # (P, ns, PAD, C)
+    out = jnp.einsum("bqw,bpwc->bpqc", Wl, h,
+                     precision=prec)                 # (P, ns_s, ns_l, C)
     # sr^2 bin pooling is per-axis and orientation-independent, so pool
     # FIRST, then restore (y, x) order for tall boxes (rows were x) on the
     # sr^2-smaller pooled tensor

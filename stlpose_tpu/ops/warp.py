@@ -84,7 +84,8 @@ def affine_warp(images, center, scale, rot_deg, output_size):
     return jax.vmap(warp_one)(images, a, b, tx, ty)
 
 
-def crop_from_center_scale(image, centers, scales, output_size):
+def crop_from_center_scale(image, centers, scales, output_size,
+                           use_pallas: bool | None = None):
     """Extract multiple person crops from ONE image (two-stage inference).
 
     Equivalent of ``TransformDetection.__call__`` (lib/transforms.py:30-60)
@@ -94,6 +95,13 @@ def crop_from_center_scale(image, centers, scales, output_size):
     bilinear — and falls back to the XLA gather elsewhere
     (STLPOSE_PALLAS_WARP=0 forces the XLA path).
 
+    ``use_pallas``: explicit kernel selection. When None the
+    STLPOSE_PALLAS_WARP env gate is read at call time — note that a
+    *jitted* caller then freezes the gate into the compiled program at
+    first trace; such callers should resolve ``use_pallas_warp()`` once
+    outside the traced function and pass the bool here explicitly (as
+    data/pipeline.py and bench.py do).
+
     Args:
       image: (H, W, C); centers: (K, 2); scales: (K, 2).
     Returns:
@@ -102,7 +110,9 @@ def crop_from_center_scale(image, centers, scales, output_size):
     from stlpose_tpu.ops.pallas_warp import use_pallas_warp
 
     K = centers.shape[0]
-    if use_pallas_warp():
+    if use_pallas is None:
+        use_pallas = use_pallas_warp()
+    if use_pallas:
         from stlpose_tpu.ops.pallas_warp import crop_from_center_scale_pallas
         return crop_from_center_scale_pallas(image, centers, scales,
                                              output_size)

@@ -283,3 +283,16 @@ class TestNmsTopK:
         s = jnp.asarray([0.9, 0.8], jnp.float32)
         keep = np.asarray(nms.box_nms_jax(boxes, s, 0.5, max_keep=64))
         assert keep.all()
+
+    def test_degenerate_zero_area_box_does_not_livelock(self):
+        """A zero-area box (self-IoU 0, e.g. a regression clipped entirely
+        to an image edge) must be picked once and removed, not re-picked
+        every iteration while valid lower-scored boxes are dropped."""
+        boxes = jnp.asarray([[100, 100, 100, 120],   # zero width
+                             [0, 0, 10, 10],
+                             [50, 50, 60, 60]], jnp.float32)
+        s = jnp.asarray([0.9, 0.8, 0.7], jnp.float32)
+        full = np.asarray(nms.box_nms_jax(boxes, s, 0.5))
+        topk = np.asarray(nms.box_nms_jax(boxes, s, 0.5, max_keep=3))
+        np.testing.assert_array_equal(full, [True, True, True])
+        np.testing.assert_array_equal(topk, full)
