@@ -221,15 +221,23 @@ class DetectorTrainer:
 
 
 def load_detector_pretrained(detector, pth_path: str | None):
-    """Convert a torchvision fasterrcnn .pth into detector variables
-    (reference seeds from torchvision's COCO-pretrained model,
-    lib/model_setup.py:70-73). Returns None when no path given."""
+    """Convert a pretrained detector .pth into detector variables, by
+    family: torchvision fasterrcnn state_dicts (reference seeds from
+    torchvision's COCO-pretrained model, lib/model_setup.py:70-73) or
+    zylo117-layout efficientdet-d{0,3} state_dicts (reference:
+    models/EfficientDet.py:127-133). Returns None when no path given."""
     import os
     if not pth_path or not os.path.isfile(pth_path):
         return None
     from stlpose_tpu.models.convert import load_torch_statedict
-    from stlpose_tpu.models.convert_detector import torch_fasterrcnn_to_flax
+    from stlpose_tpu.models.efficientdet import EfficientDet
     state = load_torch_statedict(pth_path)
+    if isinstance(detector, EfficientDet):
+        from stlpose_tpu.models.convert_detector import (
+            torch_efficientdet_to_flax)
+        return torch_efficientdet_to_flax(
+            state, num_classes=detector.config.num_classes)
+    from stlpose_tpu.models.convert_detector import torch_fasterrcnn_to_flax
     return torch_fasterrcnn_to_flax(
         state, roi_channels=detector.config.fpn_channels)
 

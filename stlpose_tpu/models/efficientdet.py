@@ -40,7 +40,11 @@ class EfficientDetConfig:
     head_repeats: int = 3
     strides: tuple = (8, 16, 32, 64, 128)   # P3..P7
     anchor_scale: float = 4.0
-    anchor_ratios: tuple = (0.5, 1.0, 2.0)
+    # (w_mult, h_mult) pairs, octave-major then ratio — the exact values
+    # AND order of the reference's anchor grid (efficientdet_utils/
+    # utils.py:115-131, lib/model_setup.py:80-81), so imported head
+    # weights line up with the anchor channel layout
+    anchor_ratios: tuple = ((1.0, 1.0), (1.4, 0.7), (0.7, 1.4))
     anchor_octaves: tuple = (0.0, 1.0 / 3.0, 2.0 / 3.0)
     # training
     fg_iou: float = 0.5
@@ -74,20 +78,31 @@ class SeparableConv(nn.Module):
     dtype: Any = jnp.float32
     use_bias: bool = True
 
+    bias_init: Any = nn.initializers.zeros
+
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
-        x = nn.Conv(cin, (3, 3), padding=[(1, 1), (1, 1)],
+        x = nn.Conv(cin, (3, 3), padding="SAME",
                     feature_group_count=cin, use_bias=False,
                     dtype=self.dtype, name="dw")(x)
         return nn.Conv(self.features, (1, 1), use_bias=self.use_bias,
+                       bias_init=self.bias_init,
                        dtype=self.dtype, name="pw")(x)
 
 
 class BiFPNLayer(nn.Module):
     """One bidirectional FPN pass with fast-attention weighted fusion
-    (reference: efficientdet_utils/model.py:55-304)."""
+    (reference: efficientdet_utils/model.py:55-304).
+
+    ``first_time`` layers take the raw backbone (C3, C4, C5) and own the
+    down-channel projections: conv+BN laterals for P3-P5, a conv+BN+pool
+    P5->P6 and pooled P6->P7, plus a SECOND set of C4/C5 down-channels
+    feeding the bottom-up residuals — the exact structure of the
+    reference's first BiFPN cell (efficientdet_utils/model.py:97-127), so
+    zylo117-layout checkpoints map one-to-one."""
     channels: int
+    first_time: bool = False
     dtype: Any = jnp.float32
 
     def _fuse(self, inputs, name):
@@ -107,6 +122,11 @@ class BiFPNLayer(nn.Module):
                                 epsilon=1e-3, dtype=jnp.float32,
                                 name=name)(x)
 
+        def down_channel(name, x):
+            h = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                        name=f"{name}_conv")(x)
+            return bn(f"{name}_bn", h).astype(self.dtype)
+
         def up(x, like):
             n, h, w, c = x.shape
             th, tw = like.shape[1], like.shape[2]
@@ -116,9 +136,27 @@ class BiFPNLayer(nn.Module):
             return x[:, :th, :tw]
 
         def down(x, like):
+            # SAME-padded 3x3/2 max pool (reference
+            # MaxPool2dStaticSamePadding: asymmetric pad on even extents)
             return nn.max_pool(x, (3, 3), strides=(2, 2),
-                               padding=((1, 1), (1, 1)))[
+                               padding="SAME")[
                                    :, :like.shape[1], :like.shape[2]]
+
+        if self.first_time:
+            c3, c4, c5 = feats
+            p3 = down_channel("dc3", c3)
+            p4 = down_channel("dc4", c4)
+            p5 = down_channel("dc5", c5)
+            p6 = nn.max_pool(down_channel("dc6", c5), (3, 3),
+                             strides=(2, 2), padding="SAME")
+            p7 = nn.max_pool(p6, (3, 3), strides=(2, 2), padding="SAME")
+            feats = [p3, p4, p5, p6, p7]
+            # bottom-up residuals for P4/P5 re-project the RAW backbone
+            # maps through a second down-channel (model.py:120-127)
+            residual = [p3, down_channel("dc4b", c4),
+                        down_channel("dc5b", c5), p6, p7]
+        else:
+            residual = feats
 
         L = len(feats)
         # top-down pass
@@ -133,9 +171,9 @@ class BiFPNLayer(nn.Module):
         out = [None] * L
         out[0] = td[0]
         for i in range(1, L):
-            ins = [feats[i], td[i], down(out[i - 1], feats[i])]
+            ins = [residual[i], td[i], down(out[i - 1], feats[i])]
             if i == L - 1:
-                ins = [feats[i], down(out[i - 1], feats[i])]
+                ins = [residual[i], down(out[i - 1], feats[i])]
             fused = self._fuse(ins, f"w_bu_{i}")
             out[i] = bn(f"bn_bu_{i}", conv(f"conv_bu_{i}")(
                 nn.swish(fused))).astype(self.dtype)
@@ -156,8 +194,12 @@ class HeadNet(nn.Module):
     def __call__(self, feats, train: bool = False):
         convs = [SeparableConv(self.channels, dtype=self.dtype,
                                name=f"conv{r}") for r in range(self.repeats)]
+        # prior-probability bias lives IN the header conv (not added at
+        # call time) so imported checkpoint biases replace it cleanly
         head = SeparableConv(self.num_anchors * self.out_per_anchor,
-                             dtype=self.dtype, name="head")
+                             dtype=self.dtype, name="head",
+                             bias_init=nn.initializers.constant(
+                                 self.bias_init_value))
         outs = []
         for li, x in enumerate(feats):
             for r, c in enumerate(convs):
@@ -168,8 +210,6 @@ class HeadNet(nn.Module):
                                  name=f"bn{r}_{li}")(x)
                 x = nn.swish(x).astype(self.dtype)
             y = head(x)
-            if self.bias_init_value:
-                y = y + self.bias_init_value
             outs.append(y.reshape(y.shape[0], -1, self.out_per_anchor))
         return jnp.concatenate(outs, axis=1)
 
@@ -183,11 +223,9 @@ class EfficientDetModule(nn.Module):
         self.backbone = EfficientNet(width_mult=cfg.width_mult,
                                      depth_mult=cfg.depth_mult,
                                      dtype=self.dtype)
-        self.p5_to_p6 = nn.Conv(cfg.fpn_channels, (1, 1), dtype=self.dtype)
-        self.laterals = [nn.Conv(cfg.fpn_channels, (1, 1), dtype=self.dtype)
-                         for _ in range(3)]
-        self.bifpn = [BiFPNLayer(cfg.fpn_channels, dtype=self.dtype)
-                      for _ in range(cfg.fpn_repeats)]
+        self.bifpn = [BiFPNLayer(cfg.fpn_channels, first_time=(i == 0),
+                                 dtype=self.dtype)
+                      for i in range(cfg.fpn_repeats)]
         n_anchors = len(cfg.anchor_ratios) * len(cfg.anchor_octaves)
         self.classifier = HeadNet(cfg.num_classes, n_anchors,
                                   cfg.head_repeats, cfg.fpn_channels,
@@ -196,17 +234,10 @@ class EfficientDetModule(nn.Module):
                                  cfg.fpn_channels, dtype=self.dtype)
 
     def __call__(self, images, train: bool = False):
-        c3, c4, c5 = self.backbone(images, train)
-        p3 = self.laterals[0](c3)
-        p4 = self.laterals[1](c4)
-        p5 = self.laterals[2](c5)
-        p6 = nn.max_pool(self.p5_to_p6(c5), (3, 3), strides=(2, 2),
-                         padding=((1, 1), (1, 1)))
-        p7 = nn.max_pool(p6, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        feats = [p3, p4, p5, p6, p7]
-        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        feats = self.backbone(images, train)      # (C3, C4, C5)
         for layer in self.bifpn:
             feats = layer(feats, train)
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
         cls = self.classifier(feats, train)       # (N, A_total, classes)
         reg = self.regressor(feats, train)        # (N, A_total, 4)
         return cls, reg, shapes
@@ -220,9 +251,9 @@ def generate_det_anchors(cfg: EfficientDetConfig, level_shapes):
         base = []
         for octave in cfg.anchor_octaves:
             size = cfg.anchor_scale * stride * (2 ** octave)
-            for ratio in cfg.anchor_ratios:
-                bw = size * np.sqrt(1.0 / ratio)
-                bh = size * np.sqrt(ratio)
+            for rw, rh in cfg.anchor_ratios:
+                bw = size * rw
+                bh = size * rh
                 base.append([-bw / 2, -bh / 2, bw / 2, bh / 2])
         base = np.asarray(base, np.float32)
         ys = (np.arange(h) + 0.5) * stride

@@ -69,9 +69,11 @@ class MBConv(nn.Module):
                         name="expand_conv")(h)
             h = nn.swish(bn("bn0")(h)).astype(self.dtype)
         k, s = self.kernel, self.stride
-        pad = k // 2
-        h = nn.Conv(mid, (k, k), strides=(s, s),
-                    padding=[(pad, pad), (pad, pad)],
+        # TF-style SAME padding (asymmetric for stride 2): the reference's
+        # vendored lukemelas backbone emulates exactly this
+        # (models/efficientnet/utils.py Conv2dStaticSamePadding), so
+        # imported torch weights see identical spatial taps
+        h = nn.Conv(mid, (k, k), strides=(s, s), padding="SAME",
                     feature_group_count=mid, use_bias=False,
                     dtype=self.dtype, name="dw_conv")(h)
         h = nn.swish(bn("bn1")(h)).astype(self.dtype)
@@ -101,9 +103,8 @@ class EfficientNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         stem_ch = round_filters(32, self.width_mult)
-        x = nn.Conv(stem_ch, (3, 3), strides=(2, 2),
-                    padding=[(1, 1), (1, 1)], use_bias=False,
-                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         x = nn.swish(nn.BatchNorm(use_running_average=not train,
                                   momentum=0.99, epsilon=1e-3,
                                   dtype=jnp.float32, name="stem_bn")(x))
