@@ -14,8 +14,9 @@ pipeline (BASELINE.json), which is what this module provides:
 Encoder: VGG16 trunk to relu3_3 shared with models/vgg.py (pretrained
 weights convertible from torchvision); decoder: mirrored convs with
 nearest-neighbor upsampling, trained with the standard AdaIN
-content+style losses (train_adain_decoder below) or loaded from a
-checkpoint. Everything is NHWC, static-shape, one jit program per batch.
+content+style losses (``train_adain_decoder`` below, CLI:
+scripts/aux_train_adain_decoder.py) or loaded from a checkpoint.
+Everything is NHWC, static-shape, one jit program per batch.
 """
 
 from __future__ import annotations
@@ -120,10 +121,17 @@ class AdaINStylizer:
 
 
 def adain_train_losses(encoder, enc_variables, decoder, dec_params,
-                       content, style, style_weight: float = 10.0):
+                       content, style, style_weight: float = 10.0,
+                       recon_weight: float = 0.0):
     """Standard AdaIN training objective for the decoder: content loss on
     relu3_3 + style loss (mean/std match) over encoder taps. Returns
-    (total, content_loss, style_loss)."""
+    (total, content_loss, style_loss).
+
+    ``recon_weight`` > 0 adds a pixel reconstruction term at alpha=0
+    (decode the UN-stylized content feature, compare to the content image)
+    — a stabilizer that pins the decoder to an approximate encoder inverse
+    so the alpha dial behaves like the reference's styled-COCO alpha
+    (data/data_loaders.py:84-100: alpha in the directory names)."""
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
     cn = (content - mean) / std
@@ -142,4 +150,50 @@ def adain_train_losses(encoder, enc_variables, decoder, dec_params,
         style_loss += jnp.mean((of.std(axis=(1, 2)) -
                                 sf.std(axis=(1, 2))) ** 2)
     total = content_loss + style_weight * style_loss
+    if recon_weight:
+        recon = decoder.apply({"params": dec_params}, c_feat)
+        total = total + recon_weight * jnp.mean((recon - cn) ** 2)
     return total, content_loss, style_loss
+
+
+def train_adain_decoder(encoder, enc_variables, decoder, dec_params,
+                        batches, lr: float = 1e-4,
+                        style_weight: float = 10.0,
+                        recon_weight: float = 1.0,
+                        callback=None):
+    """Optimize the AdaIN decoder over an iterable of (content, style)
+    image batches ((N, H, W, 3) float32 in [0, 1] each).
+
+    The encoder stays frozen (pretrained VGG or fixed random features —
+    both give a usable stylizer; the reference stylizes offline outside
+    its repo, data/data_loaders.py:84-100, so this trainer is what makes
+    the inline-stylizer path self-contained). Returns
+    (trained dec_params, per-step loss history list).
+    """
+    import optax
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(dec_params)
+
+    @jax.jit
+    def step(params, opt_state, content, style):
+        def loss_fn(p):
+            total, cl, sl = adain_train_losses(
+                encoder, enc_variables, decoder, p, content, style,
+                style_weight=style_weight, recon_weight=recon_weight)
+            return total, (cl, sl)
+
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, total
+
+    history = []
+    for content, style in batches:
+        dec_params, opt_state, total = step(
+            dec_params, opt_state, jnp.asarray(content, jnp.float32),
+            jnp.asarray(style, jnp.float32))
+        history.append(float(total))
+        if callback is not None:
+            callback(len(history), history[-1])
+    return dec_params, history

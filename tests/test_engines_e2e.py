@@ -97,6 +97,32 @@ class TestCreateExperimentCLI:
         assert os.path.exists(os.path.join(exp_path, "logs.txt"))
 
 
+def test_aux_train_adain_decoder_cli(tmp_path):
+    """aux_train_adain_decoder.py argument contract: trains a few steps on
+    tiny directories and writes the npz that aux_styled_coco_preload.py
+    --decoder_ckpt consumes."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+    for d in ("content", "style"):
+        os.makedirs(tmp_path / d)
+        for i in range(3):
+            img = (rng.rand(48, 40, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(tmp_path / d / f"{i}.png"), img)
+    out_npz = tmp_path / "decoder.npz"
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "scripts/aux_train_adain_decoder.py",
+         "--content_dir", str(tmp_path / "content"),
+         "--style_dir", str(tmp_path / "style"),
+         "--out", str(out_npz), "--steps", "3", "--batch_size", "2",
+         "--size", "32", "--log_every", "2"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    blob = np.load(out_npz, allow_pickle=True)
+    params = blob["params"].item()
+    assert "dec0" in params and "dec5" in params
+
+
 def test_serving_export_cli_from_checkpoint(workspace):
     """08_export_serving exports the trained final checkpoint as a
     loadable StableHLO artifact (depends on test_trainer_two_epochs
