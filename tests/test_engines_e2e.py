@@ -65,6 +65,29 @@ class TestTrainEval:
         blob = json.load(open(os.path.join(exp_path, stats_files[0])))
         assert "final" in blob
 
+    def test_evaluator_bf16_knob(self, workspace, monkeypatch):
+        """STLPOSE_DTYPE=bfloat16 — the knob every engine honors and the
+        dtype the headline bench runs in — drives the full evaluator and
+        lands within the serving-accuracy band of the f32 pass
+        (tests/test_bf16_accuracy.py pins the tight bound)."""
+        data, exp_path = workspace
+        monkeypatch.setenv("STLPOSE_DTYPE", "bfloat16")
+        ev = PoseEvaluator(exp_path, checkpoint="final", data_path=data,
+                           num_workers=2, flip=True)
+        ev.setup_model_dataset(config_name="tiny", pretrained=None)
+        import jax.numpy as jnp
+        assert ev.model.dtype == jnp.bfloat16
+        stats16 = ev.evaluate_model()
+        assert np.isfinite(stats16).all()
+        monkeypatch.delenv("STLPOSE_DTYPE")
+        ev32 = PoseEvaluator(exp_path, checkpoint="final", data_path=data,
+                             num_workers=2, flip=True)
+        ev32.setup_model_dataset(config_name="tiny", pretrained=None)
+        stats32 = ev32.evaluate_model()
+        # barely-trained tiny model: ties flip freely, so only a sanity
+        # band here; the calibrated bound lives in test_bf16_accuracy
+        assert abs(float(stats16[0]) - float(stats32[0])) < 0.3
+
     def test_resume_from_checkpoint(self, workspace):
         data, exp_path = workspace
         tr = PoseTrainer(exp_path, checkpoint="1", resume_training=True,
