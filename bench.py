@@ -291,6 +291,89 @@ def bench_efficientdet(batch, iters, warmup):
                        "iters": iters, "checksum": round(chk, 2)}}
 
 
+def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
+                            max_density=3, dets_per_img=16):
+    """Two-stage pipeline with CROSS-BATCH crop compaction at realistic
+    detection densities (artwork scenes average 1-3 persons/image): the
+    valid detections of the whole image batch are gathered into ONE dense
+    crop batch (static budget) before the pose forward, instead of padding
+    every image to dets_per_img crops. Engine counterpart:
+    engines/vase_evaluator.py::process_images."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from stlpose_tpu.models import create_hrnet, fold_batchnorms
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN
+    from stlpose_tpu.ops.affine import coords_to_center_scale
+    from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+    from stlpose_tpu.ops.pallas_warp import use_pallas_warp
+    from stlpose_tpu.ops.warp import crop_from_center_scale_batched
+
+    pallas_crop = use_pallas_warp()
+    det = FasterRCNN(dtype=jnp.dtype(dtype))
+    S = det.config.image_size
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        det_vars = det.init(jax.random.PRNGKey(0))
+    det_vars = jax.device_put(det_vars, jax.devices()[0])
+
+    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
+    pose_vars = _init_variables(jax, base, (1, 256, 192, 3),
+                                to_device=False)
+    pose = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
+    pose_vars = jax.device_put(fold_batchnorms(pose_vars), jax.devices()[0])
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+    # realistic-density emulation: image i carries n_i ~ U[1, max_density]
+    # REAL detections (fixed seed); the rest of each image's padded
+    # detection slots are masked out before compaction
+    rng = np.random.RandomState(0)
+    n_per_img = rng.randint(1, max_density + 1, size=batch)
+    D = dets_per_img
+    density_mask = (np.arange(D)[None, :] < n_per_img[:, None])
+    budget = int(-(-int(n_per_img.sum()) // 8) * 8)   # static, 8-aligned
+
+    @jax.jit
+    def pipeline(det_vars, pose_vars, images, dmask, chain):
+        out = det.predict(det_vars, images + chain * 0.0)
+        boxes = out["boxes"][:, :D]                     # (B, D, 4)
+        scores = jnp.clip(out["scores"][:, :D], 0.0, 1.0)
+        valid = dmask & out["valid"][:, :D]
+        # compaction: gather ALL valid detections batch-wide into one
+        # dense crop batch (valid-first ordering via a composite key)
+        key = valid.reshape(-1) * 10.0 + scores.reshape(-1)
+        _, idx = jax.lax.top_k(key, budget)
+        img_idx = (idx // D).astype(jnp.int32)
+        flat_boxes = boxes.reshape(-1, 4)[idx]
+        picked_valid = valid.reshape(-1)[idx]
+        c, s = coords_to_center_scale(flat_boxes, 192.0 / 256.0)
+        crops = crop_from_center_scale_batched(
+            images, c, s, img_idx, (192, 256), use_pallas=pallas_crop)
+        x = (crops - mean) / std
+        hm = pose.apply(pose_vars, x, train=False)
+        preds, maxvals, _ = decode_heatmaps_nhwc(hm, c, s)
+        m = picked_valid[:, None, None]
+        return jnp.sum(jnp.where(m, preds, 0.0)) + \
+            jnp.sum(jnp.where(m[..., 0], maxvals, 0.0))
+
+    rng2 = np.random.RandomState(1)
+    images = jnp.asarray(rng2.rand(batch, S, S, 3).astype(np.float32))
+    dmask = jnp.asarray(density_mask)
+    per_iter, chk = _chained_time(
+        pipeline, lambda c: (det_vars, pose_vars, images, dmask, c),
+        iters, warmup)
+    suffix = "" if dtype == "float32" else "_bf16"
+    return {"metric": f"two_stage_compact_throughput{suffix}",
+            "value": round(batch / per_iter, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "detail": {"batch": batch, "crop_budget": budget,
+                       "mean_density": round(float(n_per_img.mean()), 2),
+                       "detector_dtype": dtype,
+                       "ms_per_iter": round(per_iter * 1000, 2),
+                       "iters": iters, "checksum": round(chk, 2)}}
+
+
 def bench_two_stage(batch, iters, warmup, dets_per_img=16,
                     dtype="float32"):
     """Full two-stage serving pipeline on device: Faster R-CNN detect ->
@@ -365,7 +448,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "tta", "detector",
-                             "efficientdet", "twostage", "sweep"])
+                             "efficientdet", "twostage", "twostage_compact",
+                             "sweep"])
     ap.add_argument("--batch", type=int, default=128,
                     help="batch size (128 is the measured single-chip "
                          "knee: 6.28k crops/s vs 5.9k at 256 and 4.9k at "
@@ -398,6 +482,9 @@ def main():
     elif args.mode == "twostage":
         result = bench_two_stage(min(args.batch, 8), args.iters,
                                  args.warmup, dtype=args.dtype)
+    elif args.mode == "twostage_compact":
+        result = bench_two_stage_compact(min(args.batch, 8), args.iters,
+                                         args.warmup, dtype=args.dtype)
     else:  # sweep
         runs = [bench_infer(int(b), args.iters, args.warmup)
                 for b in args.batches.split(",")]

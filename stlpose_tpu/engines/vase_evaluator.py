@@ -27,7 +27,7 @@ from stlpose_tpu.models import PoseHighResolutionNet
 from stlpose_tpu.ops.affine import coords_to_center_scale
 from stlpose_tpu.ops.bbox_utils import bbox_filtering
 from stlpose_tpu.ops.decode import decode_heatmaps, heatmap_argmax
-from stlpose_tpu.ops.warp import crop_from_center_scale
+from stlpose_tpu.ops.warp import crop_from_center_scale_batched
 from stlpose_tpu.parallel import get_mesh
 from stlpose_tpu.parallel.detector_steps import make_detector_predict
 from stlpose_tpu.parallel.steps import make_infer_fn
@@ -102,36 +102,70 @@ class VaseEvaluator:
                                         flip_tta=False, decode=False)
 
     def process_image(self, image01):
-        """Full two-stage pass on ONE (S, S, 3) [0,1] image.
+        """Full two-stage pass on ONE (S, S, 3) [0,1] image (see
+        ``process_images``)."""
+        return self.process_images(np.asarray(image01)[None])[0]
 
-        Returns dict: boxes/scores after filtering, per-crop keypoints
-        (crop space, K x J x 3) and full-image keypoints (image space).
+    def process_images(self, images01):
+        """Full two-stage pass on a BATCH of (B, S, S, 3) [0,1] images
+        with CROSS-BATCH crop compaction: the valid detections of ALL
+        images are gathered into one dense crop batch (static bucketed
+        budget, mesh-divisible) before a single pose forward — per-image
+        detection-count padding becomes throughput on realistic scenes
+        (artwork averages 1-3 persons/image; reference per-image flow:
+        04_evaluate_vases_qualitatively.py:176-263).
+
+        Returns a list of B dicts: boxes/scores after filtering, per-crop
+        keypoints (crop space, K x J x 3) and full-image keypoints.
         """
-        n_dev = self.mesh.devices.size
-        det_in = jnp.broadcast_to(jnp.asarray(image01)[None],
-                                  (max(n_dev, 1),) + image01.shape)
+        n_dev = max(self.mesh.devices.size, 1)
+        imgs = np.asarray(images01, np.float32)
+        B = imgs.shape[0]
+        pad_b = -B % n_dev
+        det_in = jnp.asarray(np.concatenate(
+            [imgs, np.repeat(imgs[-1:], pad_b, 0)]) if pad_b else imgs)
         dets = self.det_predict(self.det_state, det_in)
         dets = {k: np.asarray(v) for k, v in dets.items()}
-        boxes, labels, scores = bbox_filtering(
-            {k: v[0] for k, v in dets.items()}, thr=self.bbox_thr)
-        order = np.argsort(-scores)[:self.max_dets]
-        boxes, scores = boxes[order], scores[order]
-        if len(boxes) == 0:
-            return {"boxes": boxes, "scores": scores,
-                    "crop_keypoints": np.zeros((0, 17, 3)),
-                    "image_keypoints": np.zeros((0, 17, 3))}
 
-        # fixed-size crop batch: pad to max_dets (rounded up to a mesh
-        # multiple) so the pose program compiles once and shards evenly
-        K = len(boxes)
-        padded_n = self.max_dets + (-self.max_dets) % n_dev
-        pad_boxes = np.concatenate(
-            [boxes, np.tile(boxes[-1:], (padded_n - K, 1))])
+        per_image, flat_boxes, flat_idx = [], [], []
+        for i in range(B):
+            boxes, labels, scores = bbox_filtering(
+                {k: v[i] for k, v in dets.items()}, thr=self.bbox_thr)
+            order = np.argsort(-scores)[:self.max_dets]
+            boxes, scores = boxes[order], scores[order]
+            per_image.append((boxes, scores))
+            flat_boxes.append(boxes)
+            flat_idx.append(np.full(len(boxes), i, np.int32))
+
+        empty = {"boxes": np.zeros((0, 4), np.float32),
+                 "scores": np.zeros((0,), np.float32),
+                 "crop_keypoints": np.zeros((0, 17, 3)),
+                 "image_keypoints": np.zeros((0, 17, 3))}
+        K = sum(len(b) for b, _ in per_image)
+        if K == 0:
+            return [dict(empty, boxes=b, scores=s) for b, s in per_image]
+
+        # bucketed static budget: next power-of-two multiple of the mesh
+        # size, so the crop/pose program recompiles at most log2 times
+        # instead of once per distinct detection count
+        per = -(-K // n_dev)
+        bucket = 1
+        while bucket < per:
+            bucket *= 2
+        budget = bucket * n_dev
+        boxes_cat = np.concatenate(flat_boxes)
+        idx_cat = np.concatenate(flat_idx)
+        pad = budget - K
+        boxes_cat = np.concatenate(
+            [boxes_cat, np.tile(boxes_cat[-1:], (pad, 1))])
+        idx_cat = np.concatenate(
+            [idx_cat, np.full(pad, idx_cat[-1], np.int32)])
+
         centers, scales = coords_to_center_scale(
-            jnp.asarray(pad_boxes, jnp.float32), 192.0 / 256.0)
-        crops = crop_from_center_scale(
-            jnp.asarray(image01 * 255.0, jnp.float32), centers, scales,
-            (192, 256))
+            jnp.asarray(boxes_cat, jnp.float32), 192.0 / 256.0)
+        crops = crop_from_center_scale_batched(
+            jnp.asarray(imgs * 255.0), centers, scales,
+            jnp.asarray(idx_cat), (192, 256))
         crops = (crops / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         hm = np.asarray(self.pose_infer(self.pose_state, crops))
 
@@ -141,27 +175,39 @@ class VaseEvaluator:
         Hh, Hw = hm.shape[2], hm.shape[3]
         coords[..., 0] *= (192.0 - 1) / (Hw - 1)
         coords[..., 1] *= (256.0 - 1) / (Hh - 1)
-        crop_kpts = np.concatenate(
-            [coords, maxvals[..., None]], axis=-1)[:K]
+        crop_kpts = np.concatenate([coords, maxvals[..., None]], axis=-1)
         # full-image decode via inverse crop transform (04_...py:244-252)
         preds, mv, _ = decode_heatmaps(jnp.asarray(hm), centers, scales)
         img_kpts = np.concatenate(
-            [np.asarray(preds), np.asarray(mv)[..., None]], axis=-1)[:K]
+            [np.asarray(preds), np.asarray(mv)[..., None]], axis=-1)
         # zero out sub-threshold keypoints for rendering parity
         for arr in (crop_kpts, img_kpts):
             arr[arr[..., 2] < self.kpt_thr] = 0
-        return {"boxes": boxes, "scores": scores,
-                "crop_keypoints": crop_kpts, "image_keypoints": img_kpts}
+
+        results = []
+        start = 0
+        for boxes, scores in per_image:
+            k = len(boxes)
+            results.append({"boxes": boxes, "scores": scores,
+                            "crop_keypoints": crop_kpts[start:start + k],
+                            "image_keypoints": img_kpts[start:start + k]})
+            start += k
+        return results
 
     def qualitative_comparison(self, limit: int | None = None):
         os.makedirs(self.plots_path, exist_ok=True)
         n_done = 0
         for batch in self.pipe:
-            for i in range(batch["n_valid"]):
-                if limit is not None and n_done >= limit:
+            n = batch["n_valid"]
+            if limit is not None:
+                n = min(n, limit - n_done)
+                if n <= 0:
                     return n_done
-                img = np.asarray(batch["image"][i])
-                res = self.process_image(img)
+            images = np.asarray(batch["image"][:n])
+            batch_res = self.process_images(images)
+            for i in range(n):
+                img = images[i]
+                res = batch_res[i]
                 if self.save:
                     name = f"img_{int(batch['image_id'][i]):04d}"
                     visualize_bbox(

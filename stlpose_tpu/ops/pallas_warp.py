@@ -200,34 +200,95 @@ def affine_warp_pallas(images, center, scale, rot_deg, output_size,
                              shared=False, interpret=interpret)
 
 
+def _warp_kernel_indexed(params_ref, src_idx_ref, src_ref, out_ref, **kw):
+    # src_idx is consumed by the BlockSpec index map (it selects which
+    # canvas this crop DMAs in); the compute body never reads it
+    del src_idx_ref
+    _warp_kernel(params_ref, src_ref, out_ref, **kw)
+
+
 def _pallas_warp_call(params, src, N, C, S, dst_h, dst_w, *, shared,
-                      interpret):
+                      interpret, src_idx=None):
     """Launch the warp kernel. ``shared=True`` reads ONE (1, C, S, S)
     canvas for every crop (two-stage inference: K detections, one image)
-    instead of a per-crop canvas — no K-fold broadcast in HBM."""
+    instead of a per-crop canvas — no K-fold broadcast in HBM.
+    ``src_idx`` (K,) int32 generalizes this to a BATCH of canvases: crop n
+    reads canvas src_idx[n] (selected in the BlockSpec index map from the
+    prefetched scalars, so only the needed canvas block is DMA'd)."""
     DW_pad = _round_up(dst_w, _LANES)
     DH_pad = _round_up(dst_h, _LANES)
-    src_index = ((lambda n, c, params: (0, c, 0, 0)) if shared
-                 else (lambda n, c, params: (n, c, 0, 0)))
-    kernel = functools.partial(_warp_kernel, S=S, DH=dst_h, DW=dst_w,
-                               DW_pad=DW_pad, DH_pad=DH_pad)
+    if src_idx is not None:
+        n_prefetch = 2
+        src_index = lambda n, c, params, idx: (idx[n], c, 0, 0)
+        out_index = lambda n, c, params, idx: (n, c, 0, 0)
+        kernel = functools.partial(_warp_kernel_indexed, S=S, DH=dst_h,
+                                   DW=dst_w, DW_pad=DW_pad, DH_pad=DH_pad)
+        operands = (params, src_idx, src)
+    else:
+        n_prefetch = 1
+        src_index = ((lambda n, c, params: (0, c, 0, 0)) if shared
+                     else (lambda n, c, params: (n, c, 0, 0)))
+        out_index = lambda n, c, params: (n, c, 0, 0)
+        kernel = functools.partial(_warp_kernel, S=S, DH=dst_h, DW=dst_w,
+                                   DW_pad=DW_pad, DH_pad=DH_pad)
+        operands = (params, src)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=n_prefetch,
             grid=(N, C),
             in_specs=[
                 pl.BlockSpec((1, 1, S, S), src_index),
             ],
-            out_specs=pl.BlockSpec((1, 1, dst_h, dst_w),
-                                   lambda n, c, params: (n, c, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, dst_h, dst_w), out_index),
         ),
         out_shape=jax.ShapeDtypeStruct((N, C, dst_h, dst_w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(params, src)
+    )(*operands)
     return jnp.transpose(out, (0, 2, 3, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "interpret"))
+def crop_from_center_scale_batched_pallas(images, centers, scales, img_idx,
+                                          output_size,
+                                          interpret: bool = False):
+    """Extract K crops from a BATCH of images: crop k reads
+    ``images[img_idx[k]]`` (two-stage serving with cross-batch crop
+    compaction — valid detections from a whole image batch gathered into
+    one dense crop batch; reference per-image flow:
+    04_evaluate_vases_qualitatively.py:176-263).
+
+    Same unrotated-exactness contract as ``crop_from_center_scale_pallas``;
+    the canvas selection happens in the BlockSpec index map from the
+    prefetched ``img_idx`` scalars, so each grid step DMAs only its own
+    source canvas.
+
+    Args:
+      images: (B, H, W, C) float32; centers/scales: (K, 2);
+      img_idx: (K,) int32 in [0, B).
+    Returns:
+      (K, dst_h, dst_w, C) crops.
+    """
+    B, H, W, C = images.shape
+    K = centers.shape[0]
+    S = _round_up(max(H, W), _LANES)
+    canvases = jnp.zeros((B, S, S, C), jnp.float32)
+    canvases = jax.lax.dynamic_update_slice(
+        canvases, images.astype(jnp.float32), (0, 0, 0, 0))
+
+    dst_w, dst_h = output_size
+    zero = jnp.zeros((K,), jnp.float32)
+    a, b, tx, ty = get_affine_params(centers, scales, zero, output_size,
+                                     inv=True)
+    params = jnp.stack([a, jnp.zeros_like(a), tx, b, a, ty,
+                        jnp.zeros_like(a), jnp.zeros_like(a)],
+                       axis=1).astype(jnp.float32)           # (K, 8)
+    src = jnp.transpose(canvases, (0, 3, 1, 2))              # (B, C, S, S)
+    return _pallas_warp_call(params, src, K, C, S, dst_h, dst_w,
+                             shared=False, interpret=interpret,
+                             src_idx=img_idx.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("output_size", "interpret"))

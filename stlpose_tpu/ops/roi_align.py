@@ -220,26 +220,46 @@ def multilevel_roi_align(feature_levels, boxes, strides,
                    float(PAD - SHORT_EXTENT)).astype(jnp.int32)
     Ws = _banded_interp_weights(pos_s, size_s, o_s.astype(jnp.float32),
                                 SHORT_EXTENT)                # (P,ns,SHORT)
-    Wl = _banded_interp_weights(pos_l, size_l,
-                                jnp.zeros((P,), jnp.float32), PAD)
 
-    def slice_one(lvl, os_):
-        return jax.lax.dynamic_slice(pyramid, (lvl, os_, 0, 0),
-                                     (1, SHORT_EXTENT, PAD, C))[0]
+    # long axis: each of the ns sample points needs exactly its 2 bilinear
+    # tap columns, so slice (SHORT, 2, C) per sample point instead of the
+    # whole (SHORT, PAD, C) band — ~PAD/(2*ns) less patch traffic, the
+    # dominant detector cost (PROFILE_detector.md "what remains").
+    # Border rules (torchvision bilinear_interpolate): outside [-1, size]
+    # contributes 0; [-1, 0] clamps to col 0; the top tap clamps to the
+    # last column. The 2-col slice must stay inside the REAL map, so its
+    # origin clamps to size-2 and frac shifts accordingly (frac=1 then
+    # selects the last column exactly).
+    inside_l = (pos_l >= -1.0) & (pos_l <= size_l[:, None])
+    pc = jnp.clip(pos_l, 0.0, size_l[:, None] - 1.0)
+    c0 = jnp.clip(jnp.floor(pc), 0.0,
+                  jnp.maximum(size_l[:, None] - 2.0, 0.0))
+    frac = pc - c0                                   # in [0, 1]
+    c0i = c0.astype(jnp.int32)                       # (P, ns)
 
-    patch = jax.vmap(slice_one)(src, o_s)            # (P, SHORT, PAD, C)
-    # interpolation matmuls in the FEATURE dtype (bf16 mode halves patch
-    # traffic; jnp would otherwise silently promote bf16 x f32 -> f32).
-    # f32 path forces full MXU precision: TPU matmuls default to reduced
-    # precision for f32 operands, which would break the bit-equivalence
-    # to the gather formulation that the tests pin (CLAUDE.md gotcha).
+    def slice_point(lvl, os_, c0_):
+        return jax.lax.dynamic_slice(pyramid, (lvl, os_, c0_, 0),
+                                     (1, SHORT_EXTENT, 2, C))[0]
+
+    def slice_box(lvl, os_, c0s):
+        return jax.vmap(slice_point, in_axes=(None, None, 0))(lvl, os_,
+                                                              c0s)
+
+    patches = jax.vmap(slice_box)(src, o_s, c0i)     # (P, ns, SHORT, 2, C)
+    wl = jnp.where(inside_l, 1.0, 0.0)[..., None, None]      # (P, ns, 1, 1)
+    f = frac[..., None, None].astype(dtype)
+    # elementwise 2-tap interp in the FEATURE dtype (bf16 mode halves
+    # traffic; jnp would otherwise silently promote bf16 x f32 -> f32)
+    long_interp = (patches[..., 0, :] * (1.0 - f) +
+                   patches[..., 1, :] * f) * wl.astype(dtype)
+    # short-axis banded matmul; f32 path forces full MXU precision: TPU
+    # matmuls default to reduced precision for f32 operands, which would
+    # break the bit-equivalence to the gather formulation that the tests
+    # pin (CLAUDE.md gotcha)
     Ws = Ws.astype(dtype)
-    Wl = Wl.astype(dtype)
     prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else
             jax.lax.Precision.DEFAULT)
-    h = jnp.einsum("bps,bswc->bpwc", Ws, patch,
-                   precision=prec)                   # (P, ns, PAD, C)
-    out = jnp.einsum("bqw,bpwc->bpqc", Wl, h,
+    out = jnp.einsum("bps,blsc->bplc", Ws, long_interp,
                      precision=prec)                 # (P, ns_s, ns_l, C)
     # sr^2 bin pooling is per-axis and orientation-independent, so pool
     # FIRST, then restore (y, x) order for tall boxes (rows were x) on the

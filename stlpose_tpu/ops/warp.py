@@ -119,3 +119,35 @@ def crop_from_center_scale(image, centers, scales, output_size,
     images = jnp.broadcast_to(image, (K,) + image.shape)
     return affine_warp(images, centers, scales, jnp.zeros((K,), jnp.float32),
                        output_size)
+
+
+def crop_from_center_scale_batched(images, centers, scales, img_idx,
+                                   output_size,
+                                   use_pallas: bool | None = None):
+    """Extract K crops from a BATCH of images: crop k reads
+    ``images[img_idx[k]]`` — the cross-batch crop-compaction primitive for
+    two-stage serving (valid detections from a whole image batch gathered
+    into one dense crop batch instead of a per-image pad). Routes to the
+    Pallas kernel on TPU (canvas selected per crop in the index map — no
+    K-fold image gather in HBM) with an XLA gather fallback.
+
+    Same ``use_pallas`` contract as ``crop_from_center_scale``.
+
+    Args:
+      images: (B, H, W, C); centers/scales: (K, 2); img_idx: (K,) int32.
+    Returns:
+      (K, dst_h, dst_w, C) crops.
+    """
+    from stlpose_tpu.ops.pallas_warp import use_pallas_warp
+
+    K = centers.shape[0]
+    if use_pallas is None:
+        use_pallas = use_pallas_warp()
+    if use_pallas:
+        from stlpose_tpu.ops.pallas_warp import (
+            crop_from_center_scale_batched_pallas)
+        return crop_from_center_scale_batched_pallas(
+            images, centers, scales, img_idx, output_size)
+    gathered = images[img_idx]                       # (K, H, W, C) gather
+    return affine_warp(gathered, centers, scales,
+                       jnp.zeros((K,), jnp.float32), output_size)

@@ -122,6 +122,36 @@ def test_crop_from_center_scale_pallas_exact(monkeypatch):
                                atol=1e-2, rtol=0)
 
 
+def test_crop_from_center_scale_batched_pallas_exact(monkeypatch):
+    """Cross-batch compaction crops (K crops from B canvases, rot=0) are
+    exact vs the XLA gather+warp path, and each crop reads the RIGHT
+    canvas (index-map canvas selection from the prefetched img_idx)."""
+    from stlpose_tpu.ops.pallas_warp import (
+        crop_from_center_scale_batched_pallas)
+    from stlpose_tpu.ops.warp import crop_from_center_scale_batched
+
+    rng = np.random.RandomState(7)
+    B, H, W = 3, 250, 330                          # pads to 384x384
+    imgs = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+    K = 8
+    cen = jnp.asarray(
+        np.stack([rng.uniform(0, W, K), rng.uniform(0, H, K)], -1),
+        jnp.float32)
+    sca = jnp.asarray(rng.uniform(0.3, 1.5, (K, 2)).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, B, K), jnp.int32)
+    out = crop_from_center_scale_batched_pallas(imgs, cen, sca, idx, OUT,
+                                                interpret=True)
+    ref = crop_from_center_scale_batched(imgs, cen, sca, idx, OUT,
+                                         use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-2, rtol=0)
+    # canvas selection really differs per crop: same geometry on another
+    # canvas yields different pixels
+    other = crop_from_center_scale_batched_pallas(
+        imgs, cen, sca, (idx + 1) % B, OUT, interpret=True)
+    assert float(jnp.abs(out - other).max()) > 1.0
+
+
 @pytest.mark.parametrize("s,c,n", [(128, 1, 1), (512, 3, 2)])
 def test_kernel_shape_edges(s, c, n):
     """Minimal canvas (one 128-lane chunk), single channel, batch 1, and a

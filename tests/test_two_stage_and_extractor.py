@@ -58,6 +58,31 @@ class TestVaseEvaluator:
         if k:
             assert np.isfinite(res["image_keypoints"]).all()
 
+    def test_process_images_compaction_matches_per_image(self, workspace,
+                                                         rng):
+        """The cross-batch compacted path must return the same detections
+        and keypoints as processing each image alone (same detector +
+        pose programs, only the crop batching differs)."""
+        data, exp_path = workspace
+        ev = VaseEvaluator(exp_path, dataset_name="ccoimages_final",
+                           data_path=data, bbox_thr=0.0, max_dets=4,
+                           detector_config="faster_rcnn_tiny", save=False)
+        ev.load_vase_subset()
+        ev.setup_models(config_name="tiny", pretrained=None)
+        S = ev.det_cfg.image_size
+        images = rng.rand(3, S, S, 3).astype(np.float32)
+        batched = ev.process_images(images)
+        assert len(batched) == 3
+        for i in range(3):
+            single = ev.process_image(images[i])
+            np.testing.assert_allclose(batched[i]["boxes"],
+                                       single["boxes"], atol=1e-5)
+            np.testing.assert_allclose(batched[i]["scores"],
+                                       single["scores"], atol=1e-5)
+            np.testing.assert_allclose(batched[i]["image_keypoints"],
+                                       single["image_keypoints"],
+                                       atol=1e-3)
+
 
 class TestArchDataExtractor:
     def test_extract_and_save_db(self, workspace, tmp_path):
