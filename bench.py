@@ -116,6 +116,68 @@ def bench_infer(batch, iters, warmup, fold=True):
                        "iters": iters, "checksum": round(chk, 2)}}
 
 
+def bench_serving(batch, iters, warmup):
+    """Exported StableHLO serving artifact vs the live-jit program, same
+    process / same shapes: proves export costs ~nothing (08_export_serving
+    artifacts are numerics-tested in test_serving_export.py; this times
+    the loaded program through the chained protocol)."""
+    import tempfile
+
+    jax = _setup()
+    import jax.numpy as jnp
+    from stlpose_tpu.models import create_hrnet, fold_batchnorms
+    from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+    from stlpose_tpu.serving.export import (export_pose_server,
+                                            load_pose_server)
+
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
+    variables = _init_variables(jax, base, (1, 256, 192, 3),
+                                to_device=False)
+    out_dir = tempfile.mkdtemp(prefix="serving_bench_")
+    export_pose_server(variables, out_dir)          # folds internally
+    served, manifest = load_pose_server(out_dir)
+
+    model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
+    folded = jax.device_put(fold_batchnorms(variables), jax.devices()[0])
+
+    @jax.jit
+    def live(variables, crops_u8, centers, scales, chain):
+        x = (crops_u8.astype(jnp.float32) - mean) / std + chain * 0.0
+        hm = model.apply(variables, x, train=False)
+        preds, maxvals, _ = decode_heatmaps_nhwc(hm, centers, scales)
+        return jnp.sum(maxvals) + jnp.sum(preds)
+
+    @jax.jit
+    def loaded(variables, crops_u8, centers, scales, chain):
+        out = served(variables, crops_u8, centers + chain * 0.0, scales)
+        return jnp.sum(out["scores"]) + jnp.sum(out["keypoints"])
+
+    rng = np.random.RandomState(0)
+    crops = jnp.asarray(rng.randint(0, 256, (batch, 256, 192, 3),
+                                    dtype=np.uint8))
+    centers = jnp.asarray(rng.uniform(100, 400, (batch, 2)), jnp.float32)
+    scales = jnp.ones((batch, 2), jnp.float32)
+
+    live_s, _ = _chained_time(
+        live, lambda c: (folded, crops, centers, scales, c), iters, warmup)
+    load_s, chk = _chained_time(
+        loaded, lambda c: (folded, crops, centers, scales, c), iters,
+        warmup)
+    return {"metric": "serving_artifact_throughput",
+            "value": round(batch / load_s, 1),
+            "unit": "crops/sec/chip",
+            "vs_baseline": round(batch / load_s / TARGET, 3),
+            "detail": {"batch": batch,
+                       "ms_per_iter_loaded": round(load_s * 1000, 2),
+                       "ms_per_iter_live_jit": round(live_s * 1000, 2),
+                       "export_overhead_pct": round(
+                           100.0 * (load_s - live_s) / live_s, 1),
+                       "platforms": manifest["platforms"],
+                       "iters": iters, "checksum": round(chk, 2)}}
+
+
 def bench_tta(batch, iters, warmup):
     """Flip-TTA eval forward (doubled batch, TTA average, NHWC decode)."""
     jax = _setup()
@@ -449,7 +511,7 @@ def main():
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "tta", "detector",
                              "efficientdet", "twostage", "twostage_compact",
-                             "sweep"])
+                             "serving", "sweep"])
     ap.add_argument("--batch", type=int, default=128,
                     help="batch size (128 is the measured single-chip "
                          "knee: 6.28k crops/s vs 5.9k at 256 and 4.9k at "
@@ -485,6 +547,8 @@ def main():
     elif args.mode == "twostage_compact":
         result = bench_two_stage_compact(min(args.batch, 8), args.iters,
                                          args.warmup, dtype=args.dtype)
+    elif args.mode == "serving":
+        result = bench_serving(args.batch, args.iters, args.warmup)
     else:  # sweep
         runs = [bench_infer(int(b), args.iters, args.warmup)
                 for b in args.batches.split(",")]
