@@ -354,24 +354,30 @@ def bench_efficientdet(batch, iters, warmup):
 
 
 def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
-                            max_density=3, dets_per_img=16):
+                            max_density=3, dets_per_img=16,
+                            family="faster_rcnn"):
     """Two-stage pipeline with CROSS-BATCH crop compaction at realistic
     detection densities (artwork scenes average 1-3 persons/image): the
     valid detections of the whole image batch are gathered into ONE dense
     crop batch (static budget) before the pose forward, instead of padding
     every image to dets_per_img crops. Engine counterpart:
-    engines/vase_evaluator.py::process_images."""
+    engines/vase_evaluator.py::process_images. ``family`` picks the
+    detector stage (faster_rcnn | efficientdet)."""
     jax = _setup()
     import jax.numpy as jnp
     from stlpose_tpu.models import create_hrnet, fold_batchnorms
-    from stlpose_tpu.models.faster_rcnn import FasterRCNN
     from stlpose_tpu.ops.affine import coords_to_center_scale
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
     from stlpose_tpu.ops.pallas_warp import use_pallas_warp
     from stlpose_tpu.ops.warp import crop_from_center_scale_batched
 
     pallas_crop = use_pallas_warp()
-    det = FasterRCNN(dtype=jnp.dtype(dtype))
+    if family == "efficientdet":
+        from stlpose_tpu.models.efficientdet import EfficientDet
+        det = EfficientDet(dtype=jnp.dtype(dtype))
+    else:
+        from stlpose_tpu.models.faster_rcnn import FasterRCNN
+        det = FasterRCNN(dtype=jnp.dtype(dtype))
     S = det.config.image_size
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -425,13 +431,14 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
         pipeline, lambda c: (det_vars, pose_vars, images, dmask, c),
         iters, warmup)
     suffix = "" if dtype == "float32" else "_bf16"
-    return {"metric": f"two_stage_compact_throughput{suffix}",
+    fam = "" if family == "faster_rcnn" else f"_{family}"
+    return {"metric": f"two_stage_compact_throughput{fam}{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "images/sec/chip",
             "vs_baseline": None,
             "detail": {"batch": batch, "crop_budget": budget,
                        "mean_density": round(float(n_per_img.mean()), 2),
-                       "detector_dtype": dtype,
+                       "detector_family": family, "detector_dtype": dtype,
                        "ms_per_iter": round(per_iter * 1000, 2),
                        "iters": iters, "checksum": round(chk, 2)}}
 

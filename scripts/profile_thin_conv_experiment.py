@@ -165,6 +165,38 @@ def main():
     record("groupfold", chain_time(f_grp, jax.device_put(w_grp, dev), x),
            "128-channel tensors, grouped weights")
 
+    # ---------------- int8 probe (the named "honest next lever") --------
+    # not numerics-matched (different domain); measures whether the int8
+    # MXU (2x bf16 peak on v5e) actually engages for this conv shape
+    x8 = jax.device_put((x_np * 10).astype(np.int8), dev)
+    w8 = jax.device_put((w_np * 100).astype(np.int8), dev)
+
+    @jax.jit
+    def f_int8(w, y, c):
+        y = y + c.astype(jnp.int8) * 0
+        acc = None
+        for _ in range(REPS):
+            o = lax.conv_general_dilated(
+                y, w, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            # re-quantize so the chain stays int8 (serving would rescale)
+            y = (o >> 7).astype(jnp.int8)
+        return jnp.sum(y.astype(jnp.int32))
+
+    try:
+        ms = chain_time(f_int8, w8, x8)
+        tf = flops / (ms / 1000.0) / 1e12
+        results["int8"] = {"ms_per_conv": round(ms, 3),
+                           "tops_effective": round(tf, 1),
+                           "pct_of_int8_peak": round(
+                               100 * tf / (2 * PEAK_BF16_TFLOPS), 1),
+                           "note": "int8 MXU probe (peak 2x bf16)"}
+        print(f"{'int8':10s} {ms:7.3f} ms  {tf:6.1f} TOP/s "
+              f"({100 * tf / (2 * PEAK_BF16_TFLOPS):4.1f}% int8 peak)")
+    except Exception as e:           # int8 conv may not lower on all paths
+        results["int8"] = {"error": str(e)[:200]}
+        print("int8 probe failed:", str(e)[:200])
+
     # NOTE on space-to-depth: the dense conv equivalent to a 3x3 s1 conv
     # on 2x2-packed data needs 3x3 support in PACKED space (sub-offset r
     # plus tap d spans floor((r+d)/2) in {-1,0,1}), i.e. a (3,3,4C,4C)

@@ -4,6 +4,7 @@
 must map bijectively onto the EfficientDetModule parameter tree."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -190,6 +191,26 @@ class TestEfficientDetConverter:
         back = torch_efficientdet_to_flax(state, num_classes=1,
                                           person_class=0)
         _assert_trees_equal(back, variables)
+
+    def test_disk_pth_load_matches_in_memory_converter(self, tmp_path):
+        """The engines' load_detector_pretrained path (torch.save'd
+        efficientdet .pth on disk -> load_torch_statedict ->
+        torch_efficientdet_to_flax) is bit-identical to converting the
+        in-memory dict (the runbook pattern,
+        tests/test_real_weights_runbook.py)."""
+        torch = pytest.importorskip("torch")
+        from stlpose_tpu.engines.detector_trainer import (
+            load_detector_pretrained)
+
+        det = EfficientDet(TINY2)
+        variables = jax.tree_util.tree_map(np.asarray,
+                                           det.init(jax.random.PRNGKey(0)))
+        state = _flax_to_torch_names(variables)
+        path = tmp_path / "efficientdet-tiny.pth"
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in state.items()}, str(path))
+        from_disk = load_detector_pretrained(det, str(path))
+        _assert_trees_equal(from_disk, variables)
 
     def test_multiclass_header_dropped_when_person_class_none(self):
         """person_class=None mirrors the reference's strict=False load:
