@@ -319,16 +319,19 @@ def bench_detector(batch, iters, warmup, dtype="float32"):
                        "iters": iters, "checksum": round(chk, 2)}}
 
 
-def bench_efficientdet(batch, iters, warmup):
-    """EfficientDet-D0 inference (EfficientNet + BiFPN + heads + static
-    top-k/NMS postprocess) images/sec."""
+def bench_efficientdet(batch, iters, warmup, compound="d0",
+                       dtype="float32"):
+    """EfficientDet-D{0,3} inference (EfficientNet + BiFPN + heads +
+    static top-k/NMS postprocess) images/sec."""
     jax = _setup()
     import jax.numpy as jnp
     from stlpose_tpu.models.efficientdet import (EfficientDet,
-                                                 EFFICIENTDET_D0)
+                                                 EFFICIENTDET_D0,
+                                                 EFFICIENTDET_D3)
 
-    model = EfficientDet(EFFICIENTDET_D0)
-    S = EFFICIENTDET_D0.image_size
+    cfg = EFFICIENTDET_D3 if compound == "d3" else EFFICIENTDET_D0
+    model = EfficientDet(cfg, dtype=jnp.dtype(dtype))
+    S = cfg.image_size
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(0))
@@ -344,11 +347,13 @@ def bench_efficientdet(batch, iters, warmup):
     images = jnp.asarray(rng.rand(batch, S, S, 3).astype(np.float32))
     per_iter, chk = _chained_time(
         infer, lambda c: (variables, images, c), iters, warmup)
-    return {"metric": "efficientdet_d0_inference_throughput",
+    suffix = "" if dtype == "float32" else "_bf16"
+    return {"metric": f"efficientdet_{compound}_inference_throughput"
+                      f"{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "images/sec/chip",
             "vs_baseline": None,
-            "detail": {"batch": batch, "image_size": S,
+            "detail": {"batch": batch, "image_size": S, "dtype": dtype,
                        "ms_per_iter": round(per_iter * 1000, 2),
                        "iters": iters, "checksum": round(chk, 2)}}
 

@@ -147,9 +147,15 @@ class BoxHead(nn.Module):
 
 
 class FasterRCNNModule(nn.Module):
-    """Parameterized trunk: backbone + FPN + RPN head + box head."""
+    """Parameterized trunk: backbone + FPN + RPN head + box head.
+
+    ``pallas_roi`` statically routes RoIAlign to the fused Pallas kernel
+    (ops/pallas_roi.py — one contiguous patch DMA per box + on-chip
+    resampling; ~3x the XLA gather path on TPU). The facade resolves the
+    STLPOSE_PALLAS_ROI gate ONCE at construction (never under trace)."""
     config: FasterRCNNConfig
     dtype: Any = jnp.float32
+    pallas_roi: bool = False
 
     def setup(self):
         cfg = self.config
@@ -174,6 +180,28 @@ class FasterRCNNModule(nn.Module):
             [f for f in feats], boxes,
             strides=self.config.strides[:len(feats)])
         return self.box_head(pooled)
+
+    def roi_batched(self, feats, boxes):
+        """feats: P2..P5 as (B, h, w, C) maps; boxes (B, P, 4). One fused
+        Pallas RoIAlign over ALL B*P boxes (no vmap-of-pallas), box head
+        applied flat. Returns ((B, P, classes), (B, P, 4*classes))."""
+        from stlpose_tpu.ops.pallas_roi import (
+            multilevel_roi_align_pallas_batched)
+        B, P = boxes.shape[:2]
+        if self.pallas_roi:
+            pooled = multilevel_roi_align_pallas_batched(
+                [f for f in feats], boxes,
+                strides=self.config.strides[:len(feats)])
+        else:
+            pooled = jax.vmap(
+                lambda fs, bx: multilevel_roi_align(
+                    list(fs), bx,
+                    strides=self.config.strides[:len(feats)]))(
+                tuple(feats), boxes)
+        flat = pooled.reshape(B * P, *pooled.shape[2:])
+        cls_logits, box_deltas = self.box_head(flat)
+        return (cls_logits.reshape(B, P, -1),
+                box_deltas.reshape(B, P, -1))
 
     def __call__(self, images, train: bool = False):
         feats = self.features(images, train)
@@ -372,9 +400,15 @@ class FasterRCNN:
     """Detector facade: init/train-loss/predict as pure jit programs."""
 
     def __init__(self, config: FasterRCNNConfig = FasterRCNNConfig(),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, pallas_roi: bool | None = None):
+        from stlpose_tpu.ops.pallas_roi import use_pallas_roi
         self.config = config
-        self.module = FasterRCNNModule(config=config, dtype=dtype)
+        if pallas_roi is None:
+            # resolved ONCE here, never under trace (env gate would
+            # otherwise freeze at first jit trace — ADVICE r2 class)
+            pallas_roi = use_pallas_roi()
+        self.module = FasterRCNNModule(config=config, dtype=dtype,
+                                       pallas_roi=pallas_roi)
         s = config.image_size
         shapes = []
         for stride in config.strides:
@@ -451,12 +485,21 @@ class FasterRCNN:
                                                   train=False)
         anchors_l = self._get_anchors(logits)
 
-        def per_image(lg, dl, feats_i):
+        def select_one(lg, dl):
             props, _ = select_proposals(cfg, anchors_l, list(lg), list(dl),
                                         False)
-            cls_logits, box_deltas = self.module.apply(
-                variables, list(feats_i), props,
-                method=FasterRCNNModule.roi)
+            return props
+
+        props_b = jax.vmap(select_one)(tuple(logits),
+                                       tuple(deltas))       # (B, P, 4)
+        # RoIAlign + box head over ALL images' proposals at once: the
+        # fused Pallas kernel pipelines one per-box DMA chain across the
+        # whole batch (ops/pallas_roi.py; XLA fallback inside)
+        cls_b, deltas_b = self.module.apply(
+            variables, [f for f in feats[:4]], props_b,
+            method=FasterRCNNModule.roi_batched)
+
+        def per_image(props, cls_logits, box_deltas):
             scores = jax.nn.softmax(cls_logits, axis=-1)
             out_boxes, out_scores, out_labels = [], [], []
             for c in range(1, cfg.num_classes):
@@ -478,6 +521,5 @@ class FasterRCNN:
             return (boxes[top_i], jnp.maximum(top_s, 0.0), lb[top_i],
                     top_s > -jnp.inf)
 
-        b, s, l, v = jax.vmap(per_image)(tuple(logits), tuple(deltas),
-                                         tuple(feats[:4]))
+        b, s, l, v = jax.vmap(per_image)(props_b, cls_b, deltas_b)
         return {"boxes": b, "scores": s, "labels": l, "valid": v}

@@ -1,0 +1,307 @@
+"""Pallas TPU kernel: fused FPN RoIAlign patch extraction + resampling.
+
+Why this kernel exists (PROFILE_detector_stages.json): after the strided
+2-tap-column rework, RoIAlign extraction still costs 35 ms of the 48 ms
+bf16 Faster R-CNN predict at batch 16 — XLA lowers the vmapped two-axis
+dynamic slice to a gather whose (32, 2, C) elements move at ~54 GB/s
+effective, far under HBM bandwidth. The access pattern the hardware
+actually wants is: ONE contiguous (SHORT, PAD, C) burst per box out of
+HBM into VMEM (the rows of a level are contiguous), then do ALL the
+resampling on-chip. That is exactly this kernel:
+
+  per box (grid step, double-buffered so DMA overlaps compute):
+    DMA   pyramid[src, o_s : o_s+SHORT]          (SHORT, PAD, C) -> VMEM
+    for each of the ns long-axis sample points i (unrolled):
+      cols = patch[:, c0_i : c0_i+2, :]          2-tap columns
+      L    = cols[:,0]*wlo_i + cols[:,1]*whi_i   long-axis lerp (VPU)
+      out[i] = Ws_box @ L                        short-axis interp (MXU)
+
+The interpolation semantics (torchvision border rules, orientation
+handling via the transposed pyramid half, conditioning of the 2-column
+slice origin) are IDENTICAL to ops/roi_align.py::multilevel_roi_align —
+the host-side wrapper below reuses its exact index/weight arithmetic and
+the kernel is equivalence-tested against it (tests/test_pallas_roi.py).
+
+Scalar operands (level index, row origin, column origins, lerp weights)
+ride the SMEM scalar-prefetch path; boxes are processed in chunks of
+CHUNK so the prefetch arrays stay small. Reference role: torchvision
+RoIAlign inside lib/model_setup.py:70-73.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stlpose_tpu.ops.roi_align import SHORT_EXTENT, _assign_levels, \
+    _banded_interp_weights
+
+CHUNK = 512          # boxes per pallas_call: bounds SMEM prefetch size
+# Pallas-path patch budget: the short axis needs <= ~30 rows, but Mosaic
+# requires the DMA row offset to be sublane-tile aligned (16 covers both
+# f32 and bf16 tiles), so the origin rounds DOWN to a 16-multiple and the
+# extent covers worst-case misalignment: 15 + 30 rounded up -> 48
+ALIGN = 16
+SHORT_PAL = 48
+
+
+def use_pallas_roi() -> bool:
+    """Gate for the fused RoIAlign kernel: STLPOSE_PALLAS_ROI=1/0 forces,
+    default = on for the TPU backend. Resolve OUTSIDE jit (the detector
+    facade reads it once at construction) — a jitted caller would freeze
+    the answer at first trace."""
+    import os
+    v = os.environ.get("STLPOSE_PALLAS_ROI", "auto").lower()
+    if v in ("1", "true", "on"):
+        return True
+    if v in ("0", "false", "off"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _roi_kernel(src_ref, os_ref, c0_ref, wlo_ref, whi_ref, ws_ref,
+                pyr_ref, out_ref, patch0, patch1, sem, *, n_boxes, ns,
+                PAD, C):
+    n = pl.program_id(0)
+
+    def dma(box, pref, slot):
+        return pltpu.make_async_copy(
+            pyr_ref.at[src_ref[box],
+                       pl.ds(pl.multiple_of(os_ref[box], ALIGN),
+                             SHORT_PAL)],
+            pref, sem.at[slot])
+
+    def stage(cur, cur_slot, nxt, nxt_slot):
+        # double buffering: box n's DMA was started at step n-1 (box 0 at
+        # its own step); start box n+1 before waiting on box n. Buffers
+        # are selected by STATIC parity branches — Mosaic's dynamic
+        # leading-index reads of VMEM scratch are not trustworthy here.
+        @pl.when(n == 0)
+        def _():
+            dma(0, cur, cur_slot).start()
+
+        @pl.when(n + 1 < n_boxes)
+        def _():
+            dma(n + 1, nxt, nxt_slot).start()
+
+        dma(n, cur, cur_slot).wait()
+
+        ws = ws_ref[0]                               # (ns, SHORT)
+        for i in range(ns):
+            # patch rows are (PAD*C) flattened so the 2-tap column pair
+            # is a LANE slice at offset c0*C — provably 128-aligned
+            # (C % 128 == 0), which Mosaic requires for dynamic lane
+            # offsets (a (PAD, C) layout would need dynamic SUBLANE
+            # offsets, which it rejects)
+            base = pl.multiple_of(c0_ref[n, i] * C, C)
+            cols = cur[:, pl.ds(base, 2 * C)]              # (SHORT, 2C)
+            L = (cols[:, :C] * wlo_ref[n, i] +
+                 cols[:, C:] * whi_ref[n, i])              # (SHORT, C)
+            # f32 inputs force full MXU precision (TPU matmuls default to
+            # reduced precision for f32 — the CLAUDE.md geometry gotcha);
+            # bf16 serving keeps the fast default
+            prec = (jax.lax.Precision.HIGHEST
+                    if ws.dtype == jnp.float32 else
+                    jax.lax.Precision.DEFAULT)
+            out_i = jax.lax.dot_general(
+                ws, L.astype(ws.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                            # (ns, C)
+            out_ref[0, i] = out_i.astype(out_ref.dtype)
+
+    parity = jax.lax.rem(n, 2)
+
+    @pl.when(parity == 0)
+    def _():
+        stage(patch0, 0, patch1, 1)
+
+    @pl.when(parity == 1)
+    def _():
+        stage(patch1, 1, patch0, 0)
+
+
+def _roi_chunk_call(pyramid, src, o_s, c0, wlo, whi, ws, *, ns, PAD, C,
+                    interpret):
+    """One pallas_call over a CHUNK of boxes. Returns (N, ns_l, ns_s, C)."""
+    N = src.shape[0]
+    dtype = pyramid.dtype
+    kernel = functools.partial(_roi_kernel, n_boxes=N, ns=ns, PAD=PAD, C=C)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,           # src, o_s, c0, wlo, whi
+            grid=(N,),
+            in_specs=[
+                pl.BlockSpec((1, ns, SHORT_PAL),
+                             lambda n, *_: (n, 0, 0)),      # Ws per box
+                pl.BlockSpec(memory_space=pl.ANY),          # pyramid HBM
+            ],
+            out_specs=pl.BlockSpec((1, ns, ns, C),
+                                   lambda n, *_: (n, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((SHORT_PAL, PAD * C), dtype),
+                pltpu.VMEM((SHORT_PAL, PAD * C), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, ns, ns, C), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(src, o_s, c0, wlo, whi, ws, pyramid)
+
+
+def multilevel_roi_align_pallas(feature_levels, boxes, strides,
+                                output_size: int = 7,
+                                sampling_ratio: int = 2,
+                                canonical_scale: float = 224.0,
+                                canonical_level: int = 4,
+                                interpret: bool = False):
+    """Drop-in replacement for ops.roi_align.multilevel_roi_align (one
+    image) — see multilevel_roi_align_pallas_batched."""
+    out = multilevel_roi_align_pallas_batched(
+        [f[None] for f in feature_levels], boxes[None], strides,
+        output_size, sampling_ratio, canonical_scale, canonical_level,
+        interpret=interpret)
+    return out[0]
+
+
+def multilevel_roi_align_pallas_batched(feature_levels, boxes, strides,
+                                        output_size: int = 7,
+                                        sampling_ratio: int = 2,
+                                        canonical_scale: float = 224.0,
+                                        canonical_level: int = 4,
+                                        interpret: bool = False):
+    """Batched fused RoIAlign: ``feature_levels`` are per-level
+    (B, h, w, C) maps, ``boxes`` is (B, P, 4); returns (B, P, n, n, C).
+
+    All B*P boxes run through ONE kernel grid — the per-box DMA source
+    index encodes (image, level, orientation), so no vmap-of-pallas is
+    needed and the double-buffered DMA pipeline spans the whole batch.
+    Index/weight arithmetic is identical to
+    ops/roi_align.py::multilevel_roi_align."""
+    L = len(feature_levels)
+    B, P = boxes.shape[:2]
+    C = feature_levels[0].shape[-1]
+    n, sr = output_size, sampling_ratio
+    ns = n * sr
+    dtype = feature_levels[0].dtype
+    maxHW = max(max(f.shape[1], f.shape[2]) for f in feature_levels)
+    PAD = max(2 * SHORT_EXTENT, -(-maxHW // 8) * 8)
+    coarse_min = min(feature_levels[-1].shape[1],
+                     feature_levels[-1].shape[2])
+    if coarse_min > SHORT_EXTENT - 2:
+        raise ValueError(
+            f"coarsest FPN level min-extent {coarse_min} exceeds the "
+            f"static patch budget SHORT_EXTENT-2={SHORT_EXTENT - 2}")
+    if C % 128 != 0 and not interpret:
+        # the kernel's lane-offset trick needs C to be a lane-tile
+        # multiple; thin test configs take the XLA path instead
+        from stlpose_tpu.ops.roi_align import multilevel_roi_align
+        return jax.vmap(
+            lambda fs, bx: multilevel_roi_align(
+                list(fs), bx, strides, output_size, sampling_ratio,
+                canonical_scale, canonical_level))(
+            tuple(feature_levels), boxes)
+    # Rows get ONE extra ALIGN of zero padding: near the far edge of the
+    # largest map there is otherwise NO 16-aligned 48-row window that both
+    # covers the box's short-axis rows and stays inside PAD rows (the bug
+    # class every level-2 edge box hit on first hardware run).
+    PAD_ROWS = PAD + ALIGN
+    # (B, 2L, PAD_ROWS, PAD, C): levels then their transposed copies
+    normal = jnp.stack([
+        jnp.pad(f, ((0, 0), (0, PAD_ROWS - f.shape[1]),
+                    (0, PAD - f.shape[2]), (0, 0)))
+        for f in feature_levels], axis=1)                    # (B,L,...)
+    swapped = jnp.stack([
+        jnp.pad(jnp.swapaxes(f, 1, 2),
+                ((0, 0), (0, PAD_ROWS - f.shape[2]),
+                 (0, PAD - f.shape[1]), (0, 0)))
+        for f in feature_levels], axis=1)
+    pyr = jnp.concatenate([normal, swapped], axis=1)
+    # rows stay the DMA-sliced dim; (PAD, C) flattens into lanes for the
+    # kernel's aligned dynamic column slices
+    pyramid = pyr.reshape(B * 2 * L, PAD_ROWS, PAD * C)
+    sizes = jnp.asarray([[f.shape[1], f.shape[2]]
+                         for f in feature_levels], jnp.float32)
+
+    flat = boxes.reshape(B * P, 4)
+    img_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
+
+    # --- identical index/weight arithmetic to multilevel_roi_align ------
+    k = _assign_levels(flat, L, canonical_scale, canonical_level)
+    li = (k - 2).astype(jnp.int32)
+    stride = jnp.asarray(strides, jnp.float32)[li]
+    size_h = sizes[li, 0]
+    size_w = sizes[li, 1]
+    b = flat / stride[:, None]
+    x1, y1 = b[:, 0], b[:, 1]
+    roi_w = jnp.maximum(b[:, 2] - x1, 1.0)
+    roi_h = jnp.maximum(b[:, 3] - y1, 1.0)
+    p_idx = jnp.arange(ns)
+    grid = (p_idx // sr + (p_idx % sr + 0.5) / sr).astype(jnp.float32)
+    px = x1[:, None] + grid[None, :] * (roi_w / n)[:, None]
+    py = y1[:, None] + grid[None, :] * (roi_h / n)[:, None]
+    wide = roi_w >= roi_h
+    w3 = wide[:, None, None]
+    pos_s = jnp.where(wide[:, None], py, px)
+    pos_l = jnp.where(wide[:, None], px, py)
+    size_s = jnp.where(wide, size_h, size_w)
+    size_l = jnp.where(wide, size_w, size_h)
+    src = jnp.where(wide, li, li + L) + img_idx * (2 * L)
+    # 16-aligned patch origin (Mosaic DMA sublane-tile constraint); the
+    # banded weights absorb the shift, SHORT_PAL rows cover the window,
+    # and the PAD_ROWS over-allocation guarantees an aligned origin
+    # exists for edge windows (align-down after this clip loses <= 15
+    # rows at the top, which the extra row padding absorbs)
+    o_s = jnp.clip(jnp.floor(pos_s.min(axis=1)) - 1.0, 0.0,
+                   float(PAD + ALIGN - SHORT_PAL)).astype(jnp.int32)
+    o_s = (o_s // ALIGN) * ALIGN
+    Ws = _banded_interp_weights(pos_s, size_s, o_s.astype(jnp.float32),
+                                SHORT_PAL)
+    inside_l = (pos_l >= -1.0) & (pos_l <= size_l[:, None])
+    pc = jnp.clip(pos_l, 0.0, size_l[:, None] - 1.0)
+    c0 = jnp.clip(jnp.floor(pc), 0.0,
+                  jnp.maximum(size_l[:, None] - 2.0, 0.0))
+    frac = pc - c0
+    c0i = c0.astype(jnp.int32)
+    live = inside_l.astype(jnp.float32)
+    wlo = (1.0 - frac) * live
+    whi = frac * live
+    # --------------------------------------------------------------------
+
+    Ws = Ws.astype(dtype)
+    PT = B * P
+    chunk = min(CHUNK, -(-PT // 8) * 8)      # small PT: one small chunk
+    pad_p = -PT % chunk
+    if pad_p:
+        def padp(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad_p,) + x.shape[1:], x.dtype)])
+        src, o_s, c0i = padp(src), padp(o_s), padp(c0i)
+        wlo, whi, Ws = padp(wlo), padp(whi), padp(Ws)
+    n_chunks = (PT + pad_p) // chunk
+
+    def one_chunk(args):
+        s, o, c, lo, hi, w = args
+        return _roi_chunk_call(pyramid, s, o, c, lo, hi, w, ns=ns,
+                               PAD=PAD, C=C, interpret=interpret)
+
+    chunked = jax.lax.map(one_chunk, (
+        src.reshape(n_chunks, chunk),
+        o_s.reshape(n_chunks, chunk),
+        c0i.reshape(n_chunks, chunk, ns),
+        wlo.reshape(n_chunks, chunk, ns),
+        whi.reshape(n_chunks, chunk, ns),
+        Ws.reshape(n_chunks, chunk, ns, SHORT_PAL)))
+    out_lm = chunked.reshape(n_chunks * chunk, ns, ns, C)[:PT]
+    # kernel emits (PT, ns_long, ns_short, C); downstream expects
+    # (PT, ns_short, ns_long, C)
+    out = jnp.swapaxes(out_lm, 1, 2)
+    out = out.reshape(PT, n, sr, n, sr, C).mean(axis=(2, 4))
+    out = jnp.where(w3[..., None], out, jnp.swapaxes(out, 1, 2))
+    return out.astype(dtype).reshape(B, P, n, n, C)

@@ -149,12 +149,14 @@ class TestFasterRCNN:
             return (optax.apply_updates(params, updates), new_stats,
                     opt_state, loss)
 
-        # 90 steps: the 60-step run was trajectory-marginal — a numerically
-        # equivalent (1e-7) RoIAlign reformulation flipped the post-NMS
-        # detection below the 0.05 score threshold at this seed
+        # 150 steps: the 60- and 90-step runs were trajectory-marginal —
+        # last-ulp-equivalent RoIAlign/box-head reformulations (and the
+        # 1- vs 8-device CPU compile) flipped the post-NMS detection at
+        # this seed; by 150 steps the box is found with IoU ~0.9 across
+        # every numerically-equivalent formulation probed
         losses = []
         key = jax.random.PRNGKey(1)
-        for i in range(90):
+        for i in range(150):
             key, sub = jax.random.split(key)
             params, stats, opt_state, loss = step(params, stats, opt_state,
                                                   sub)

@@ -1,0 +1,107 @@
+"""Fused Pallas RoIAlign kernel vs the XLA formulation (itself pinned to
+the all-level+mask reference): interpret-mode equivalence across random
+geometry, extreme aspects, edges, and degenerate boxes."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stlpose_tpu.ops.roi_align import (multilevel_roi_align,
+                                       multilevel_roi_align_reference)
+from stlpose_tpu.ops.pallas_roi import multilevel_roi_align_pallas
+
+STRIDES = (4, 8, 16, 32)
+
+
+def _pyramid(rng, img, C=24):
+    return [jnp.asarray(rng.randn(img // s, img // s, C).astype(np.float32))
+            for s in STRIDES]
+
+
+def _random_boxes(rng, P, img):
+    x1 = rng.uniform(0, img - 2, P)
+    y1 = rng.uniform(0, img - 2, P)
+    w = rng.uniform(1, img, P)
+    h = rng.uniform(1, img, P)
+    x2 = np.minimum(x1 + w, img)
+    y2 = np.minimum(y1 + h, img)
+    return jnp.asarray(np.stack([x1, y1, x2, y2], -1), jnp.float32)
+
+
+def test_random_boxes_match_xla_and_reference():
+    rng = np.random.RandomState(0)
+    img = 256
+    feats = _pyramid(rng, img)
+    boxes = _random_boxes(rng, 40, img)
+    out = multilevel_roi_align_pallas(feats, boxes, STRIDES,
+                                      interpret=True)
+    xla = multilevel_roi_align(feats, boxes, STRIDES)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla),
+                               atol=1e-4, rtol=1e-4)
+    ref = multilevel_roi_align_reference(feats, boxes, STRIDES)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_extreme_aspect_edge_and_degenerate_boxes():
+    rng = np.random.RandomState(1)
+    img = 256
+    feats = _pyramid(rng, img)
+    boxes = jnp.asarray([
+        [0.0, 0.0, 255.0, 10.0],
+        [240.0, 0.0, 256.0, 256.0],
+        [0.0, 0.0, 256.0, 256.0],
+        [0.0, 100.0, 256.0, 130.0],
+        [10.0, 10.0, 11.0, 11.0],
+        [5.0, 5.0, 5.0, 5.0],
+        [200.0, 200.0, 256.0, 256.0],
+    ], jnp.float32)
+    out = multilevel_roi_align_pallas(feats, boxes, STRIDES,
+                                      interpret=True)
+    ref = multilevel_roi_align_reference(feats, boxes, STRIDES)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_far_edge_level2_windows():
+    """Regression: at the 400px geometry the level-2 map has 100 rows and
+    a box whose short-axis window sits past row ~70 has NO 16-aligned
+    48-row window inside 104 padded rows — the first hardware run
+    silently zeroed those rows for every level-2 edge box. The extra
+    ALIGN row padding must make these exact."""
+    rng = np.random.RandomState(3)
+    img = 400
+    feats = [jnp.asarray(
+        rng.randn((img + s - 1) // s, (img + s - 1) // s, 16)
+        .astype(np.float32)) for s in STRIDES]
+    # small (level-2) boxes hugging the bottom/right edges, plus corner
+    boxes = jnp.asarray([
+        [370.0, 250.0, 400.0, 295.0],
+        [170.0, 390.0, 280.0, 400.0],
+        [380.0, 295.0, 400.0, 400.0],
+        [360.0, 80.0, 400.0, 225.0],
+        [390.0, 390.0, 400.0, 400.0],
+        [0.0, 370.0, 45.0, 400.0],
+    ], jnp.float32)
+    out = multilevel_roi_align_pallas(feats, boxes, STRIDES,
+                                      interpret=True)
+    ref = multilevel_roi_align_reference(feats, boxes, STRIDES)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_chunk_boundary_padding():
+    """P not a multiple of the chunk size exercises the zero-padded tail
+    boxes; result rows beyond P must simply be dropped."""
+    rng = np.random.RandomState(2)
+    img = 128
+    feats = [jnp.asarray(
+        rng.randn((img + s - 1) // s, (img + s - 1) // s, 16)
+        .astype(np.float32)) for s in STRIDES]
+    boxes = _random_boxes(rng, 13, img)
+    out = multilevel_roi_align_pallas(feats, boxes, STRIDES,
+                                      interpret=True)
+    ref = multilevel_roi_align_reference(feats, boxes, STRIDES)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
