@@ -64,6 +64,16 @@ def make_detector_train_step(detector, tx, mesh,
 
 def make_detector_predict(detector, mesh) -> Callable:
     """predict(state, images) -> padded {boxes, scores, labels, valid}."""
+    if mesh.devices.size > 1 and getattr(detector.module, "pallas_roi",
+                                         False):
+        # GSPMD has no partitioning rule for the fused Mosaic RoIAlign
+        # call; sharding it needs an explicit shard_map treatment that a
+        # single-chip environment cannot validate. Fail loudly instead of
+        # silently replicating: construct the detector with
+        # pallas_roi=False (or STLPOSE_PALLAS_ROI=0) for multi-chip runs.
+        raise ValueError(
+            "fused Pallas RoIAlign is single-chip only; build the "
+            "detector with pallas_roi=False for a multi-device mesh")
 
     def predict(state: PoseTrainState, images):
         return detector.predict(state.variables(), images)

@@ -128,7 +128,12 @@ def export_detector_server(variables, out_dir: str,
 
     if family == "faster_rcnn":
         from stlpose_tpu.models.faster_rcnn import FasterRCNN
-        det = FasterRCNN(config) if config is not None else FasterRCNN()
+        # multi-platform artifacts must stay portable StableHLO: the fused
+        # Pallas RoIAlign lowers to a TPU-only Mosaic custom call, so only
+        # a tpu-exclusive export may bake it
+        pallas_ok = tuple(platforms) == ("tpu",)
+        det = FasterRCNN(config, pallas_roi=pallas_ok) \
+            if config is not None else FasterRCNN(pallas_roi=pallas_ok)
     elif family == "efficientdet":
         from stlpose_tpu.models.efficientdet import (EfficientDet,
                                                      EFFICIENTDET_D0)

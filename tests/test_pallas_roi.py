@@ -90,6 +90,23 @@ def test_far_edge_level2_windows():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_multichip_predict_guard():
+    """GSPMD has no partitioning rule for the Mosaic RoIAlign call:
+    building a sharded predict with pallas_roi=True must fail loudly."""
+    import jax
+    import pytest
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
+    from stlpose_tpu.parallel import get_mesh
+    from stlpose_tpu.parallel.detector_steps import make_detector_predict
+
+    mesh = get_mesh()
+    if mesh.devices.size <= 1:
+        pytest.skip("needs a multi-device mesh")
+    det = FasterRCNN(FASTER_RCNN_TINY, pallas_roi=True)
+    with pytest.raises(ValueError, match="single-chip"):
+        make_detector_predict(det, mesh)
+
+
 def test_chunk_boundary_padding():
     """P not a multiple of the chunk size exercises the zero-padded tail
     boxes; result rows beyond P must simply be dropped."""
