@@ -62,22 +62,34 @@ def make_detector_train_step(detector, tx, mesh,
                    donate_argnums=(0,) if donate else ())
 
 
-def make_detector_predict(detector, mesh) -> Callable:
-    """predict(state, images) -> padded {boxes, scores, labels, valid}."""
-    if mesh.devices.size > 1 and getattr(detector.module, "pallas_roi",
-                                         False):
-        # GSPMD has no partitioning rule for the fused Mosaic RoIAlign
-        # call; sharding it needs an explicit shard_map treatment that a
-        # single-chip environment cannot validate. Fail loudly instead of
-        # silently replicating: construct the detector with
-        # pallas_roi=False (or STLPOSE_PALLAS_ROI=0) for multi-chip runs.
-        raise ValueError(
-            "fused Pallas RoIAlign is single-chip only; build the "
-            "detector with pallas_roi=False for a multi-device mesh")
+def make_detector_predict(detector, mesh,
+                          use_shard_map: bool | None = None) -> Callable:
+    """predict(state, images) -> padded {boxes, scores, labels, valid}.
 
-    def predict(state: PoseTrainState, images):
-        return detector.predict(state.variables(), images)
-
+    On a multi-device mesh with the fused Pallas RoIAlign enabled, the
+    whole predict runs under ``shard_map`` over the data axis: GSPMD has
+    no partitioning rule for the Mosaic custom call, but per-device the
+    program is purely local (no collectives in predict), so each device
+    simply runs the kernel on its batch shard. ``use_shard_map`` forces
+    the path either way (tests exercise the plumbing on the virtual CPU
+    mesh with the XLA RoIAlign)."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    if use_shard_map is None:
+        use_shard_map = (mesh.devices.size > 1 and
+                         getattr(detector.module, "pallas_roi", False))
+    if use_shard_map:
+        from jax.experimental.shard_map import shard_map
+
+        local = shard_map(
+            lambda v, imgs: detector.predict(v, imgs), mesh=mesh,
+            in_specs=(P(), P("data")), out_specs=P("data"),
+            check_rep=False)
+
+        def predict(state: PoseTrainState, images):
+            return local(state.variables(), images)
+    else:
+        def predict(state: PoseTrainState, images):
+            return detector.predict(state.variables(), images)
+
     return jax.jit(predict, in_shardings=(repl, data), out_shardings=data)

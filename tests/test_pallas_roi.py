@@ -90,21 +90,35 @@ def test_far_edge_level2_windows():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_multichip_predict_guard():
-    """GSPMD has no partitioning rule for the Mosaic RoIAlign call:
-    building a sharded predict with pallas_roi=True must fail loudly."""
+def test_shard_map_predict_matches_gspmd():
+    """The shard_map predict path (what a multi-chip Pallas detector
+    uses — GSPMD has no rule for the Mosaic call, but predict is purely
+    local per shard) must return the same detections as the GSPMD path."""
     import jax
     import pytest
     from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
     from stlpose_tpu.parallel import get_mesh
     from stlpose_tpu.parallel.detector_steps import make_detector_predict
+    from stlpose_tpu.train import create_train_state
+    from stlpose_tpu.engines.detector_trainer import _DetectorModelShim
+    from stlpose_tpu.config import default_experiment_args
 
     mesh = get_mesh()
     if mesh.devices.size <= 1:
         pytest.skip("needs a multi-device mesh")
-    det = FasterRCNN(FASTER_RCNN_TINY, pallas_roi=True)
-    with pytest.raises(ValueError, match="single-chip"):
-        make_detector_predict(det, mesh)
+    det = FasterRCNN(FASTER_RCNN_TINY)
+    state, _ = create_train_state(_DetectorModelShim(det),
+                                  default_experiment_args(),
+                                  jax.random.PRNGKey(0), (1,))
+    S = FASTER_RCNN_TINY.image_size
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(mesh.devices.size, S, S, 3), jnp.float32)
+    p_gspmd = make_detector_predict(det, mesh, use_shard_map=False)
+    p_smap = make_detector_predict(det, mesh, use_shard_map=True)
+    a = {k: np.asarray(v) for k, v in p_gspmd(state, imgs).items()}
+    b = {k: np.asarray(v) for k, v in p_smap(state, imgs).items()}
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=k)
 
 
 def test_chunk_boundary_padding():
