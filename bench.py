@@ -178,6 +178,72 @@ def bench_serving(batch, iters, warmup):
                        "iters": iters, "checksum": round(chk, 2)}}
 
 
+def bench_latency(iters, warmup):
+    """Serving LATENCY profile: per-call device time of the folded-BN bf16
+    pose program at small batches (the two-stage engine's real crop counts)
+    and of the bf16 detector at B=1. Complements the throughput table —
+    production serving cares about both ends."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from stlpose_tpu.models import create_hrnet, fold_batchnorms
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN
+    from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
+
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
+    variables = _init_variables(jax, base, (1, 256, 192, 3),
+                                to_device=False)
+    model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
+    variables = jax.device_put(fold_batchnorms(variables), jax.devices()[0])
+
+    @jax.jit
+    def infer(variables, crops_u8, centers, scales, chain):
+        x = (crops_u8.astype(jnp.float32) - mean) / std + chain * 0.0
+        hm = model.apply(variables, x, train=False)
+        preds, maxvals, _ = decode_heatmaps_nhwc(hm, centers, scales)
+        return jnp.sum(maxvals) + jnp.sum(preds)
+
+    rng = np.random.RandomState(0)
+    pose_ms = {}
+    for b in (1, 2, 4, 8, 16, 32):
+        crops = jnp.asarray(rng.randint(0, 256, (b, 256, 192, 3),
+                                        dtype=np.uint8))
+        centers = jnp.asarray(rng.uniform(100, 400, (b, 2)), jnp.float32)
+        scales = jnp.ones((b, 2), jnp.float32)
+        per_iter, _ = _chained_time(
+            infer, lambda c: (variables, crops, centers, scales, c),
+            iters, warmup)
+        pose_ms[b] = round(per_iter * 1000, 3)
+
+    det = FasterRCNN(dtype=jnp.bfloat16)
+    S = det.config.image_size
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        det_vars = det.init(jax.random.PRNGKey(0))
+    det_vars = jax.device_put(det_vars, jax.devices()[0])
+
+    @jax.jit
+    def det_infer(det_vars, images, chain):
+        out = det.predict(det_vars, images + chain * 0.0)
+        return jnp.sum(out["boxes"]) + jnp.sum(out["scores"])
+
+    det_ms = {}
+    for b in (1, 4):
+        images = jnp.asarray(rng.rand(b, S, S, 3).astype(np.float32))
+        per_iter, _ = _chained_time(
+            det_infer, lambda c: (det_vars, images, c), iters, warmup)
+        det_ms[b] = round(per_iter * 1000, 3)
+
+    return {"metric": "serving_latency_profile",
+            "value": pose_ms[1],
+            "unit": "ms/call (pose B=1)",
+            "vs_baseline": None,
+            "detail": {"pose_bf16_foldbn_ms_by_batch": pose_ms,
+                       "faster_rcnn_bf16_ms_by_batch": det_ms,
+                       "iters": iters}}
+
+
 def bench_tta(batch, iters, warmup):
     """Flip-TTA eval forward (doubled batch, TTA average, NHWC decode)."""
     jax = _setup()
@@ -523,7 +589,7 @@ def main():
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "tta", "detector",
                              "efficientdet", "twostage", "twostage_compact",
-                             "serving", "sweep"])
+                             "serving", "latency", "sweep"])
     ap.add_argument("--batch", type=int, default=128,
                     help="batch size (128 is the measured single-chip "
                          "knee: 6.28k crops/s vs 5.9k at 256 and 4.9k at "
@@ -561,6 +627,8 @@ def main():
                                          args.warmup, dtype=args.dtype)
     elif args.mode == "serving":
         result = bench_serving(args.batch, args.iters, args.warmup)
+    elif args.mode == "latency":
+        result = bench_latency(args.iters, args.warmup)
     else:  # sweep
         runs = [bench_infer(int(b), args.iters, args.warmup)
                 for b in args.batches.split(",")]
