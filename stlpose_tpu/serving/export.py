@@ -113,7 +113,8 @@ def export_pose_server(variables, out_dir: str,
 def export_detector_server(variables, out_dir: str,
                            family: str = "faster_rcnn",
                            config=None,
-                           platforms: Sequence[str] = ("tpu", "cpu")) -> str:
+                           platforms: Sequence[str] = ("tpu", "cpu"),
+                           static_batch: int | None = None) -> str:
     """Export a detector's full inference program (backbone + proposal /
     anchor machinery + static NMS postprocess -> padded
     {boxes, scores, labels, valid}) the same way as the pose server.
@@ -121,17 +122,28 @@ def export_detector_server(variables, out_dir: str,
     The batch dimension is symbolic for EfficientDet; Faster R-CNN's
     proposal machinery vmaps over the batch with static per-image shapes,
     which jax.export handles symbolically as well.
+
+    ``static_batch``: export a fixed-batch program instead of a
+    batch-polymorphic one. Required to bake the fused Pallas RoIAlign
+    into a tpu-exclusive Faster R-CNN artifact — the Mosaic kernel's
+    grid and box chunking are compile-time constants, so a
+    Pallas-baked serving program is a fixed-shape bucket (export one
+    artifact per serving batch size); symbolic-batch exports always
+    take the portable XLA RoIAlign path.
     """
     import jax
     from jax import export as jexport
     import jax.numpy as jnp
 
+    pallas_ok = False
     if family == "faster_rcnn":
         from stlpose_tpu.models.faster_rcnn import FasterRCNN
         # multi-platform artifacts must stay portable StableHLO: the fused
         # Pallas RoIAlign lowers to a TPU-only Mosaic custom call, so only
-        # a tpu-exclusive export may bake it
-        pallas_ok = tuple(platforms) == ("tpu",)
+        # a tpu-exclusive FIXED-BATCH export may bake it (the kernel's
+        # chunking cannot be shape-polymorphic)
+        pallas_ok = (tuple(platforms) == ("tpu",)
+                     and static_batch is not None)
         det = FasterRCNN(config, pallas_roi=pallas_ok) \
             if config is not None else FasterRCNN(pallas_roi=pallas_ok)
     elif family == "efficientdet":
@@ -143,7 +155,8 @@ def export_detector_server(variables, out_dir: str,
         raise ValueError(f"unknown detector family: {family}")
 
     S = det.config.image_size
-    b = jexport.symbolic_shape("b")[0]
+    b = (int(static_batch) if static_batch is not None
+         else jexport.symbolic_shape("b")[0])
     img_spec = jax.ShapeDtypeStruct((b, S, S, 3), jnp.float32)
     var_specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), variables)
@@ -157,7 +170,10 @@ def export_detector_server(variables, out_dir: str,
     manifest = {
         "format": "jax.export/stablehlo",
         "family": family,
-        "input": {"images": ["b", S, S, 3, "float32 (0-1 RGB)"]},
+        "batch": ("b" if static_batch is None else int(static_batch)),
+        "pallas_roi": bool(pallas_ok),
+        "input": {"images": ["b" if static_batch is None else int(
+            static_batch), S, S, 3, "float32 (0-1 RGB)"]},
         "output": ["boxes (b,D,4)", "scores (b,D)", "labels (b,D)",
                    "valid (b,D)"],
         "platforms": list(platforms),

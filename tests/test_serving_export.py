@@ -72,6 +72,52 @@ def test_export_artifact_is_self_contained(tmp_path):
     assert np.isfinite(np.asarray(got["scores"])).all()
 
 
+def test_detector_export_tpu_exclusive_bakes_pallas(tmp_path):
+    """A ``platforms=("tpu",), static_batch=N`` Faster R-CNN export bakes
+    the fused Pallas RoIAlign (a Mosaic ``tpu_custom_call``) into the
+    artifact; lowering and serialize/deserialize work from any host (no
+    TPU needed to produce the artifact). Execution parity of the
+    reloaded artifact vs the live jitted model is validated on the real
+    chip (see scripts/RUNBOOK_AP_PARITY.md notes); the CPU suite pins
+    the serialization path and the routing rules:
+
+      * tpu-exclusive + static batch  -> Mosaic kernel baked in
+      * any symbolic-batch export     -> portable XLA RoIAlign (the
+        kernel's chunking/grid cannot be shape-polymorphic)
+
+    The 128-channel config matters: the kernel itself routes thin
+    (C % 128 != 0) configs to the XLA path, so FASTER_RCNN_TINY would
+    never lower the Mosaic call.
+    """
+    import dataclasses
+    from jax import export as jexport
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
+    from stlpose_tpu.serving import export_detector_server
+
+    cfg128 = dataclasses.replace(FASTER_RCNN_TINY, fpn_channels=128)
+    det = FasterRCNN(cfg128, pallas_roi=True)
+    v = det.init(jax.random.PRNGKey(0))
+    out = export_detector_server(v, str(tmp_path / "tpu_only"),
+                                 family="faster_rcnn", config=cfg128,
+                                 platforms=("tpu",), static_batch=2)
+    blob = (tmp_path / "tpu_only" / "model.stablehlo").read_bytes()
+    txt = jexport.deserialize(blob).mlir_module()
+    assert "tpu_custom_call" in txt        # the Mosaic kernel is baked in
+    serve, manifest = load_pose_server(str(tmp_path / "tpu_only"))
+    assert manifest["platforms"] == ["tpu"]
+    assert manifest["pallas_roi"] and manifest["batch"] == 2
+
+    # symbolic-batch export of the same model: portable path, no kernel
+    out2 = export_detector_server(v, str(tmp_path / "poly"),
+                                  family="faster_rcnn", config=cfg128,
+                                  platforms=("tpu",))
+    txt2 = jexport.deserialize(
+        (tmp_path / "poly" / "model.stablehlo").read_bytes()).mlir_module()
+    assert "tpu_custom_call" not in txt2
+    _, mani2 = load_pose_server(str(tmp_path / "poly"))
+    assert not mani2["pallas_roi"] and mani2["batch"] == "b"
+
+
 def test_detector_export_round_trip(tmp_path):
     """Both detector families export and reload; reloaded predictions
     match the live predict exactly."""
