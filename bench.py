@@ -178,6 +178,62 @@ def bench_serving(batch, iters, warmup):
                        "iters": iters, "checksum": round(chk, 2)}}
 
 
+def bench_detector_serving(batch, iters, warmup):
+    """Exported tpu-exclusive DETECTOR artifact (bf16, fused Pallas
+    RoIAlign baked in as a Mosaic custom call, static serving batch) vs
+    the live-jit bf16 Pallas detector, same shapes: proves the
+    fixed-shape serving bucket costs ~nothing over live jit."""
+    import tempfile
+
+    jax = _setup()
+    import jax.numpy as jnp
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN
+    from stlpose_tpu.serving.export import (export_detector_server,
+                                            load_pose_server)
+
+    model = FasterRCNN(dtype=jnp.bfloat16, pallas_roi=True)
+    S = model.config.image_size
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0))
+    out_dir = tempfile.mkdtemp(prefix="det_serving_bench_")
+    export_detector_server(variables, out_dir, family="faster_rcnn",
+                           platforms=("tpu",), static_batch=batch,
+                           dtype=jnp.bfloat16)
+    served, manifest = load_pose_server(out_dir)
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    @jax.jit
+    def live(variables, images, chain):
+        out = model.predict(variables, images + chain * 0.0)
+        return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
+
+    @jax.jit
+    def loaded(variables, images, chain):
+        out = served(variables, images + chain * 0.0)
+        return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, S, S, 3).astype(np.float32))
+    live_s, live_chk = _chained_time(
+        live, lambda c: (variables, images, c), iters, warmup)
+    load_s, chk = _chained_time(
+        loaded, lambda c: (variables, images, c), iters, warmup)
+    return {"metric": "detector_serving_artifact_throughput",
+            "value": round(batch / load_s, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "detail": {"batch": batch, "image_size": S,
+                       "dtype": "bfloat16",
+                       "pallas_roi": manifest["pallas_roi"],
+                       "ms_per_iter_loaded": round(load_s * 1000, 2),
+                       "ms_per_iter_live_jit": round(live_s * 1000, 2),
+                       "export_overhead_pct": round(
+                           100.0 * (load_s - live_s) / live_s, 1),
+                       "iters": iters, "checksum": round(chk, 2),
+                       "checksum_live": round(live_chk, 2)}}
+
+
 def bench_latency(iters, warmup):
     """Serving LATENCY profile: per-call device time of the folded-BN bf16
     pose program at small batches (the two-stage engine's real crop counts)
@@ -589,7 +645,8 @@ def main():
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "tta", "detector",
                              "efficientdet", "twostage", "twostage_compact",
-                             "serving", "latency", "sweep"])
+                             "serving", "detector_serving", "latency",
+                             "sweep"])
     ap.add_argument("--batch", type=int, default=128,
                     help="batch size (128 is the measured single-chip "
                          "knee: 6.28k crops/s vs 5.9k at 256 and 4.9k at "
@@ -627,6 +684,9 @@ def main():
                                          args.warmup, dtype=args.dtype)
     elif args.mode == "serving":
         result = bench_serving(args.batch, args.iters, args.warmup)
+    elif args.mode == "detector_serving":
+        result = bench_detector_serving(min(args.batch, 16), args.iters,
+                                        args.warmup)
     elif args.mode == "latency":
         result = bench_latency(args.iters, args.warmup)
     else:  # sweep

@@ -114,7 +114,8 @@ def export_detector_server(variables, out_dir: str,
                            family: str = "faster_rcnn",
                            config=None,
                            platforms: Sequence[str] = ("tpu", "cpu"),
-                           static_batch: int | None = None) -> str:
+                           static_batch: int | None = None,
+                           dtype=None) -> str:
     """Export a detector's full inference program (backbone + proposal /
     anchor machinery + static NMS postprocess -> padded
     {boxes, scores, labels, valid}) the same way as the pose server.
@@ -135,6 +136,7 @@ def export_detector_server(variables, out_dir: str,
     from jax import export as jexport
     import jax.numpy as jnp
 
+    dtype = jnp.float32 if dtype is None else dtype
     pallas_ok = False
     if family == "faster_rcnn":
         from stlpose_tpu.models.faster_rcnn import FasterRCNN
@@ -144,13 +146,14 @@ def export_detector_server(variables, out_dir: str,
         # chunking cannot be shape-polymorphic)
         pallas_ok = (tuple(platforms) == ("tpu",)
                      and static_batch is not None)
-        det = FasterRCNN(config, pallas_roi=pallas_ok) \
-            if config is not None else FasterRCNN(pallas_roi=pallas_ok)
+        det = FasterRCNN(config, dtype=dtype, pallas_roi=pallas_ok) \
+            if config is not None else FasterRCNN(dtype=dtype,
+                                                  pallas_roi=pallas_ok)
     elif family == "efficientdet":
         from stlpose_tpu.models.efficientdet import (EfficientDet,
                                                      EFFICIENTDET_D0)
         det = EfficientDet(config if config is not None else
-                           EFFICIENTDET_D0)
+                           EFFICIENTDET_D0, dtype=dtype)
     else:
         raise ValueError(f"unknown detector family: {family}")
 
@@ -172,6 +175,7 @@ def export_detector_server(variables, out_dir: str,
         "family": family,
         "batch": ("b" if static_batch is None else int(static_batch)),
         "pallas_roi": bool(pallas_ok),
+        "compute_dtype": jnp.dtype(dtype).name,
         "input": {"images": ["b" if static_batch is None else int(
             static_batch), S, S, 3, "float32 (0-1 RGB)"]},
         "output": ["boxes (b,D,4)", "scores (b,D)", "labels (b,D)",
