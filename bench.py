@@ -64,6 +64,25 @@ def _chained_time(fn, args_fn, iters, warmup):
     return chained_time(fn, args_fn, iters, warmup)
 
 
+def _folded_pose_setup(jax):
+    """Shared serving-configuration setup: folded-BN bf16 HRNet-W32 with
+    its variables on device + ImageNet normalization constants in the
+    0-255 domain. Returns (model, raw_host_variables, folded_on_device,
+    mean, std) — raw variables stay on host for callers that re-fold
+    (e.g. the export path folds internally)."""
+    import jax.numpy as jnp
+    from stlpose_tpu.models import create_hrnet, fold_batchnorms
+
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
+    variables = _init_variables(jax, base, (1, 256, 192, 3),
+                                to_device=False)
+    model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
+    folded = jax.device_put(fold_batchnorms(variables), jax.devices()[0])
+    return model, variables, folded, mean, std
+
+
 def bench_infer(batch, iters, warmup, fold=True):
     jax = _setup()
     import jax.numpy as jnp
@@ -125,22 +144,14 @@ def bench_serving(batch, iters, warmup):
 
     jax = _setup()
     import jax.numpy as jnp
-    from stlpose_tpu.models import create_hrnet, fold_batchnorms
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
     from stlpose_tpu.serving.export import (export_pose_server,
                                             load_pose_server)
 
-    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
-    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
-    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
-    variables = _init_variables(jax, base, (1, 256, 192, 3),
-                                to_device=False)
+    model, variables, folded, mean, std = _folded_pose_setup(jax)
     out_dir = tempfile.mkdtemp(prefix="serving_bench_")
     export_pose_server(variables, out_dir)          # folds internally
     served, manifest = load_pose_server(out_dir)
-
-    model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
-    folded = jax.device_put(fold_batchnorms(variables), jax.devices()[0])
 
     @jax.jit
     def live(variables, crops_u8, centers, scales, chain):
@@ -241,17 +252,10 @@ def bench_latency(iters, warmup):
     production serving cares about both ends."""
     jax = _setup()
     import jax.numpy as jnp
-    from stlpose_tpu.models import create_hrnet, fold_batchnorms
     from stlpose_tpu.models.faster_rcnn import FasterRCNN
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
 
-    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
-    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
-    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
-    variables = _init_variables(jax, base, (1, 256, 192, 3),
-                                to_device=False)
-    model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
-    variables = jax.device_put(fold_batchnorms(variables), jax.devices()[0])
+    model, _, variables, mean, std = _folded_pose_setup(jax)
 
     @jax.jit
     def infer(variables, crops_u8, centers, scales, chain):
@@ -304,17 +308,10 @@ def bench_tta(batch, iters, warmup):
     """Flip-TTA eval forward (doubled batch, TTA average, NHWC decode)."""
     jax = _setup()
     import jax.numpy as jnp
-    from stlpose_tpu.models import create_hrnet, fold_batchnorms
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
     from stlpose_tpu.ops.flip import average_flip_tta_nhwc
 
-    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
-    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
-    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
-    variables = _init_variables(jax, base, (1, 256, 192, 3),
-                                to_device=False)
-    model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
-    variables = jax.device_put(fold_batchnorms(variables), jax.devices()[0])
+    model, _, variables, mean, std = _folded_pose_setup(jax)
 
     @jax.jit
     def infer(variables, crops_u8, centers, scales, chain):
@@ -492,7 +489,6 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
     detector stage (faster_rcnn | efficientdet)."""
     jax = _setup()
     import jax.numpy as jnp
-    from stlpose_tpu.models import create_hrnet, fold_batchnorms
     from stlpose_tpu.ops.affine import coords_to_center_scale
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
     from stlpose_tpu.ops.pallas_warp import use_pallas_warp
@@ -511,13 +507,9 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
         det_vars = det.init(jax.random.PRNGKey(0))
     det_vars = jax.device_put(det_vars, jax.devices()[0])
 
-    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
-    pose_vars = _init_variables(jax, base, (1, 256, 192, 3),
-                                to_device=False)
-    pose = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
-    pose_vars = jax.device_put(fold_batchnorms(pose_vars), jax.devices()[0])
-    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    pose, _, pose_vars, mean255, std255 = _folded_pose_setup(jax)
+    mean = mean255 / 255.0                  # this pipeline works in 0-1
+    std = std255 / 255.0
 
     # realistic-density emulation: image i carries n_i ~ U[1, max_density]
     # REAL detections (fixed seed); the rest of each image's padded
@@ -578,7 +570,6 @@ def bench_two_stage(batch, iters, warmup, dets_per_img=16,
     ``dtype`` sets the DETECTOR's compute dtype (pose is always bf16)."""
     jax = _setup()
     import jax.numpy as jnp
-    from stlpose_tpu.models import create_hrnet, fold_batchnorms
     from stlpose_tpu.models.faster_rcnn import FasterRCNN
     from stlpose_tpu.ops.affine import coords_to_center_scale
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
@@ -595,13 +586,9 @@ def bench_two_stage(batch, iters, warmup, dets_per_img=16,
         det_vars = det.init(jax.random.PRNGKey(0))
     det_vars = jax.device_put(det_vars, jax.devices()[0])
 
-    base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
-    pose_vars = _init_variables(jax, base, (1, 256, 192, 3),
-                                to_device=False)
-    pose = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True)
-    pose_vars = jax.device_put(fold_batchnorms(pose_vars), jax.devices()[0])
-    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    pose, _, pose_vars, mean255, std255 = _folded_pose_setup(jax)
+    mean = mean255 / 255.0                  # this pipeline works in 0-1
+    std = std255 / 255.0
 
     @jax.jit
     def pipeline(det_vars, pose_vars, images, chain):
@@ -657,6 +644,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--no-fold", action="store_true",
                     help="disable BN/input-norm folding (parity path)")
+    ap.add_argument("--compound", default="d0", choices=["d0", "d3"],
+                    help="EfficientDet compound coefficient "
+                         "(--mode efficientdet)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="train-mode compute dtype (mixed precision)")
@@ -675,7 +665,8 @@ def main():
                                 args.warmup, dtype=args.dtype)
     elif args.mode == "efficientdet":
         result = bench_efficientdet(min(args.batch, 16), args.iters,
-                                    args.warmup)
+                                    args.warmup, compound=args.compound,
+                                    dtype=args.dtype)
     elif args.mode == "twostage":
         result = bench_two_stage(min(args.batch, 8), args.iters,
                                  args.warmup, dtype=args.dtype)

@@ -203,8 +203,13 @@ class VaseEvaluator:
                 n = min(n, limit - n_done)
                 if n <= 0:
                     return n_done
-            images = np.asarray(batch["image"][:n])
-            batch_res = self.process_images(images)
+            # always process the FULL padded batch (constant shapes ->
+            # one jit compile) and slice the RESULTS to the valid count;
+            # a short tail batch would otherwise retrace the detector,
+            # crop, and pose programs for its new batch dimension
+            images = np.asarray(batch["image"])
+            batch_res = self.process_images(images)[:n]
+            images = images[:n]
             for i in range(n):
                 img = images[i]
                 res = batch_res[i]

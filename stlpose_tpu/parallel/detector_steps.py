@@ -79,12 +79,12 @@ def make_detector_predict(detector, mesh,
         use_shard_map = (mesh.devices.size > 1 and
                          getattr(detector.module, "pallas_roi", False))
     if use_shard_map:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         local = shard_map(
             lambda v, imgs: detector.predict(v, imgs), mesh=mesh,
             in_specs=(P(), P("data")), out_specs=P("data"),
-            check_rep=False)
+            check_vma=False)
 
         def predict(state: PoseTrainState, images):
             return local(state.variables(), images)

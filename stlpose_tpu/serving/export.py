@@ -115,7 +115,8 @@ def export_detector_server(variables, out_dir: str,
                            config=None,
                            platforms: Sequence[str] = ("tpu", "cpu"),
                            static_batch: int | None = None,
-                           dtype=None) -> str:
+                           dtype=None,
+                           pallas_roi: bool | None = None) -> str:
     """Export a detector's full inference program (backbone + proposal /
     anchor machinery + static NMS postprocess -> padded
     {boxes, scores, labels, valid}) the same way as the pose server.
@@ -131,6 +132,11 @@ def export_detector_server(variables, out_dir: str,
     Pallas-baked serving program is a fixed-shape bucket (export one
     artifact per serving batch size); symbolic-batch exports always
     take the portable XLA RoIAlign path.
+
+    ``pallas_roi``: explicit opt-in/out of baking the Pallas kernel
+    when the export is eligible (tpu-exclusive + static batch); the
+    default defers to the same STLPOSE_PALLAS_ROI env gate the
+    FasterRCNN facade uses everywhere else.
     """
     import jax
     from jax import export as jexport
@@ -144,8 +150,16 @@ def export_detector_server(variables, out_dir: str,
         # Pallas RoIAlign lowers to a TPU-only Mosaic custom call, so only
         # a tpu-exclusive FIXED-BATCH export may bake it (the kernel's
         # chunking cannot be shape-polymorphic)
+        if pallas_roi is None:
+            # honor an explicit STLPOSE_PALLAS_ROI=0 opt-out, but unlike
+            # use_pallas_roi()'s "auto" (current backend) the default
+            # here is ON: the artifact targets the tpu platform
+            # regardless of which host produces it
+            pallas_roi = os.environ.get(
+                "STLPOSE_PALLAS_ROI", "auto").lower() not in (
+                "0", "false", "off")
         pallas_ok = (tuple(platforms) == ("tpu",)
-                     and static_batch is not None)
+                     and static_batch is not None and bool(pallas_roi))
         det = FasterRCNN(config, dtype=dtype, pallas_roi=pallas_ok) \
             if config is not None else FasterRCNN(dtype=dtype,
                                                   pallas_roi=pallas_ok)

@@ -117,6 +117,18 @@ def test_detector_export_tpu_exclusive_bakes_pallas(tmp_path):
     _, mani2 = load_pose_server(str(tmp_path / "poly"))
     assert not mani2["pallas_roi"] and mani2["batch"] == "b"
 
+    # explicit opt-out mirrors the STLPOSE_PALLAS_ROI=0 escape hatch
+    export_detector_server(v, str(tmp_path / "optout"),
+                           family="faster_rcnn", config=cfg128,
+                           platforms=("tpu",), static_batch=2,
+                           pallas_roi=False)
+    txt3 = jexport.deserialize(
+        (tmp_path / "optout" / "model.stablehlo").read_bytes()
+    ).mlir_module()
+    assert "tpu_custom_call" not in txt3
+    _, mani3 = load_pose_server(str(tmp_path / "optout"))
+    assert not mani3["pallas_roi"] and mani3["batch"] == 2
+
 
 def test_detector_export_round_trip(tmp_path):
     """Both detector families export and reload; reloaded predictions
