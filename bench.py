@@ -14,11 +14,23 @@ chain; per-call RPC latency is amortized over ``--iters``, not subtracted.
 
 Other modes (written to BENCH_extra.json, one JSON line each to stdout):
   --mode train     pose train-step throughput (samples/sec, full fwd+bwd+
-                   optimizer+PCK step from parallel/steps.py)
+                   optimizer+PCK step from parallel/steps.py; --dtype for
+                   mixed-precision bf16)
   --mode tta       flip-TTA eval throughput (the 03_evaluate forward: doubled
                    batch, TTA average, loss+PCK+decode)
   --mode detector  Faster R-CNN full-size detector inference (images/sec:
-                   forward + RPN + RoI heads + static NMS postprocess)
+                   forward + RPN + RoI heads + static NMS postprocess;
+                   --dtype bfloat16 for the serving configuration)
+  --mode efficientdet      EfficientDet inference (--compound d0|d3, --dtype)
+  --mode twostage          detector -> crops -> pose in ONE jit program,
+                           padded to --dets-per-img detections per image
+  --mode twostage_compact  same pipeline with cross-batch crop compaction at
+                           realistic person densities (--detector-family
+                           faster_rcnn|efficientdet)
+  --mode serving           exported StableHLO pose artifact vs live jit
+  --mode detector_serving  exported detector artifact (Pallas-baked bucket)
+  --mode latency           small-batch per-call latency profile (pose +
+                           detector), the serving tail-latency story
   --mode sweep     inference at each of --batches, reports the best
 """
 
