@@ -659,6 +659,12 @@ def main():
     ap.add_argument("--compound", default="d0", choices=["d0", "d3"],
                     help="EfficientDet compound coefficient "
                          "(--mode efficientdet)")
+    ap.add_argument("--dets-per-img", type=int, default=16,
+                    help="per-image detection pad (--mode twostage) / "
+                         "compacted crop budget (--mode twostage_compact)")
+    ap.add_argument("--detector-family", default="faster_rcnn",
+                    choices=["faster_rcnn", "efficientdet"],
+                    help="detector stage for --mode twostage_compact")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="train-mode compute dtype (mixed precision)")
@@ -681,10 +687,14 @@ def main():
                                     dtype=args.dtype)
     elif args.mode == "twostage":
         result = bench_two_stage(min(args.batch, 8), args.iters,
-                                 args.warmup, dtype=args.dtype)
+                                 args.warmup, dtype=args.dtype,
+                                 dets_per_img=args.dets_per_img)
     elif args.mode == "twostage_compact":
-        result = bench_two_stage_compact(min(args.batch, 8), args.iters,
-                                         args.warmup, dtype=args.dtype)
+        cap = 16 if args.detector_family == "efficientdet" else 8
+        result = bench_two_stage_compact(min(args.batch, cap), args.iters,
+                                         args.warmup, dtype=args.dtype,
+                                         dets_per_img=args.dets_per_img,
+                                         family=args.detector_family)
     elif args.mode == "serving":
         result = bench_serving(args.batch, args.iters, args.warmup)
     elif args.mode == "detector_serving":

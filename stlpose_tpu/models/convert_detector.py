@@ -200,7 +200,8 @@ def torch_efficientdet_to_flax(state: Dict[str, np.ndarray],
       * head ``bn_list.{level}.{layer}`` -> ``bn{layer}_{level}``;
       * if the checkpoint classifier has more classes than
         ``num_classes`` (official d0/d3 ship 90 COCO classes), the header
-        is SLICED to ``person_class`` per anchor — channel order is
+        is SLICED to the ``num_classes`` consecutive checkpoint classes
+        starting at ``person_class``, per anchor — channel order is
         anchor-major (model.py:369-372), the same convention our HeadNet
         reshape assumes. Pass ``person_class=None`` to instead drop the
         classifier header (the reference's strict=False behavior,
@@ -351,8 +352,17 @@ def torch_efficientdet_to_flax(state: Dict[str, np.ndarray],
             sel = np.arange(total)
         elif person_class is None:
             sel = None      # drop the classifier header entirely
+        elif person_class + num_classes <= ckpt_classes:
+            # keep num_classes CONSECUTIVE checkpoint classes starting at
+            # person_class, per anchor (anchor-major channel order)
+            sel = (np.arange(num_anchors)[:, None] * ckpt_classes
+                   + person_class + np.arange(num_classes)[None, :]
+                   ).reshape(-1)
         else:
-            sel = np.arange(num_anchors) * ckpt_classes + person_class
+            raise ValueError(
+                f"cannot slice {num_classes} classes starting at class "
+                f"{person_class} out of a {ckpt_classes}-class checkpoint "
+                f"header; pass person_class=None to drop the header")
         if sel is not None:
             w = _conv(header_cls_w)[:, :, :, sel]
             b = np.asarray(header_cls_b, np.float32)[sel]

@@ -212,6 +212,39 @@ class TestEfficientDetConverter:
         from_disk = load_detector_pretrained(det, str(path))
         _assert_trees_equal(from_disk, variables)
 
+    def test_multiclass_header_sliced_to_class_range(self):
+        """num_classes > 1 keeps that many CONSECUTIVE checkpoint classes
+        per anchor starting at person_class (regression: the slice used
+        to pick exactly one channel per anchor regardless of
+        num_classes, emitting a structurally invalid classifier head)."""
+        import dataclasses
+        cfg2 = dataclasses.replace(TINY2, num_classes=2)
+        det = EfficientDet(cfg2)
+        variables = jax.tree_util.tree_map(np.asarray,
+                                           det.init(jax.random.PRNGKey(0)))
+        state = _flax_to_torch_names(variables)
+        n_anchors, ckpt_classes, start = 9, 90, 5
+        rng = np.random.RandomState(2)
+        w2 = state["classifier.header.pointwise_conv.conv.weight"]
+        b2 = state["classifier.header.pointwise_conv.conv.bias"]
+        cin = w2.shape[1]
+        w90 = rng.randn(n_anchors * ckpt_classes, cin, 1, 1).astype(
+            np.float32)
+        b90 = rng.randn(n_anchors * ckpt_classes).astype(np.float32)
+        for a in range(n_anchors):
+            for c in range(2):
+                w90[a * ckpt_classes + start + c] = w2[a * 2 + c]
+                b90[a * ckpt_classes + start + c] = b2[a * 2 + c]
+        state["classifier.header.pointwise_conv.conv.weight"] = w90
+        state["classifier.header.pointwise_conv.conv.bias"] = b90
+        back = torch_efficientdet_to_flax(state, num_classes=2,
+                                          person_class=start)
+        _assert_trees_equal(back, variables)
+
+        with pytest.raises(ValueError, match="cannot slice"):
+            torch_efficientdet_to_flax(state, num_classes=2,
+                                       person_class=ckpt_classes - 1)
+
     def test_multiclass_header_dropped_when_person_class_none(self):
         """person_class=None mirrors the reference's strict=False load:
         backbone/BiFPN/regressor import, classifier header stays at its
