@@ -307,12 +307,27 @@ def bench_latency(iters, warmup):
             det_infer, lambda c: (det_vars, images, c), iters, warmup)
         det_ms[b] = round(per_iter * 1000, 3)
 
+    # measurement floor: the same chained protocol on a null program.
+    # Under the RPC tunnel, per-call dispatch costs several ms, so any
+    # figure near this floor is an UPPER BOUND on true device latency,
+    # and differences between small batches below it are noise.
+    @jax.jit
+    def null_prog(chain):
+        return chain + 1.0
+
+    floor_s, _ = _chained_time(null_prog, lambda c: (c,), iters, warmup)
+    floor_ms = round(floor_s * 1000, 3)
+
     return {"metric": "serving_latency_profile",
             "value": pose_ms[1],
-            "unit": "ms/call (pose B=1)",
+            "unit": "ms/call (pose B=1, upper bound; see dispatch_floor)",
             "vs_baseline": None,
             "detail": {"pose_bf16_foldbn_ms_by_batch": pose_ms,
                        "faster_rcnn_bf16_ms_by_batch": det_ms,
+                       "dispatch_floor_ms": floor_ms,
+                       "note": "values within ~2x of dispatch_floor_ms "
+                               "are bounded by per-call RPC dispatch, "
+                               "not device time",
                        "iters": iters}}
 
 
