@@ -552,7 +552,13 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
         out = det.predict(det_vars, images + chain * 0.0)
         boxes = out["boxes"][:, :D]                     # (B, D, 4)
         scores = jnp.clip(out["scores"][:, :D], 0.0, 1.0)
-        valid = dmask & out["valid"][:, :D]
+        # the density mask IS the emulated validity: an untrained
+        # detector's own `valid` is degenerate (EfficientDet's focal-loss
+        # bias init scores everything below threshold -> all-false, which
+        # would contradict the "n_i real detections" emulation and zero
+        # the checksum); the detector's boxes/scores are still consumed
+        # so its full predict program stays on the timed path
+        valid = dmask
         # compaction: gather ALL valid detections batch-wide into one
         # dense crop batch (valid-first ordering via a composite key)
         key = valid.reshape(-1) * 10.0 + scores.reshape(-1)
