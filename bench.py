@@ -276,6 +276,13 @@ def bench_latency(iters, warmup):
         preds, maxvals, _ = decode_heatmaps_nhwc(hm, centers, scales)
         return jnp.sum(maxvals) + jnp.sum(preds)
 
+    def min_of_3(fn, args_fn):
+        """Latency floor: best of 3 chained repeats — per-call figures at
+        small batch carry multi-ms run-to-run jitter from the RPC tunnel,
+        and min is the right statistic for a floor."""
+        return min(_chained_time(fn, args_fn, iters, warmup)[0]
+                   for _ in range(3))
+
     rng = np.random.RandomState(0)
     pose_ms = {}
     for b in (1, 2, 4, 8, 16, 32):
@@ -283,9 +290,8 @@ def bench_latency(iters, warmup):
                                         dtype=np.uint8))
         centers = jnp.asarray(rng.uniform(100, 400, (b, 2)), jnp.float32)
         scales = jnp.ones((b, 2), jnp.float32)
-        per_iter, _ = _chained_time(
-            infer, lambda c: (variables, crops, centers, scales, c),
-            iters, warmup)
+        per_iter = min_of_3(
+            infer, lambda c: (variables, crops, centers, scales, c))
         pose_ms[b] = round(per_iter * 1000, 3)
 
     det = FasterRCNN(dtype=jnp.bfloat16)
@@ -303,8 +309,7 @@ def bench_latency(iters, warmup):
     det_ms = {}
     for b in (1, 4):
         images = jnp.asarray(rng.rand(b, S, S, 3).astype(np.float32))
-        per_iter, _ = _chained_time(
-            det_infer, lambda c: (det_vars, images, c), iters, warmup)
+        per_iter = min_of_3(det_infer, lambda c: (det_vars, images, c))
         det_ms[b] = round(per_iter * 1000, 3)
 
     # measurement floor: the same chained protocol on a null program.
@@ -315,8 +320,7 @@ def bench_latency(iters, warmup):
     def null_prog(chain):
         return chain + 1.0
 
-    floor_s, _ = _chained_time(null_prog, lambda c: (c,), iters, warmup)
-    floor_ms = round(floor_s * 1000, 3)
+    floor_ms = round(min_of_3(null_prog, lambda c: (c,)) * 1000, 3)
 
     return {"metric": "serving_latency_profile",
             "value": pose_ms[1],
@@ -328,7 +332,7 @@ def bench_latency(iters, warmup):
                        "note": "values within ~2x of dispatch_floor_ms "
                                "are bounded by per-call RPC dispatch, "
                                "not device time",
-                       "iters": iters}}
+                       "iters": iters, "repeats": 3}}
 
 
 def bench_tta(batch, iters, warmup):

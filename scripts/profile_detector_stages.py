@@ -1,8 +1,12 @@
-"""Faster R-CNN predict stage-level profile (post strided-RoIAlign rework).
+"""Faster R-CNN predict stage-level profile.
 
 Times nested prefixes of the predict program at batch 16 so stage costs
 fall out as deltas: trunk (backbone+FPN+RPN heads) -> +proposal selection
 -> +RoIAlign -> +box head -> full predict (adds per-class NMS + top-k).
+The prefix chain keeps the XLA banded-matmul RoIAlign throughout so the
+deltas stay comparable; the fused Pallas kernel (ops/pallas_roi.py) is
+timed as two counterpart stages (+RoIAlign and full predict) so the
+kernel's stage-level win reads directly off the JSON.
 Writes PROFILE_detector_stages.json; prose analysis in PROFILE_detector.md.
 """
 
@@ -33,7 +37,8 @@ def main():
     from stlpose_tpu.utils.timing import chained_time
 
     B = args.batch
-    det = FasterRCNN(dtype=jnp.dtype(args.dtype))
+    det = FasterRCNN(dtype=jnp.dtype(args.dtype), pallas_roi=False)
+    det_p = FasterRCNN(dtype=jnp.dtype(args.dtype), pallas_roi=True)
     cfg = det.config
     S = cfg.image_size
     cpu = jax.devices("cpu")[0]
@@ -98,6 +103,27 @@ def main():
         out = det.predict(variables, images + chain * 0.0)
         return jnp.sum(out["boxes"]) + jnp.sum(out["scores"])
 
+    # Pallas counterparts: one fused kernel over ALL B*P boxes (the
+    # roi_batched path serving predict uses on TPU)
+    from stlpose_tpu.ops.pallas_roi import (
+        multilevel_roi_align_pallas_batched, use_pallas_roi)
+
+    def stage_roi_pallas(variables, images, chain):
+        feats, logits, deltas = trunk(variables, images + chain * 0.0)
+        anchors_l = det._get_anchors(logits)
+        props = jax.vmap(
+            lambda lg, dl: select_proposals(cfg, anchors_l, list(lg),
+                                            list(dl), False)[0])(
+            tuple(logits), tuple(deltas))
+        pooled = multilevel_roi_align_pallas_batched(
+            [f for f in feats[:4]], props,
+            strides=cfg.strides[:4])
+        return jnp.sum(pooled.astype(jnp.float32))
+
+    def stage_full_pallas(variables, images, chain):
+        out = det_p.predict(variables, images + chain * 0.0)
+        return jnp.sum(out["boxes"]) + jnp.sum(out["scores"])
+
     stages = [("trunk", stage_trunk), ("plus_proposals", stage_props),
               ("plus_roialign", stage_roi), ("plus_boxhead", stage_boxhead),
               ("full_predict", stage_full)]
@@ -112,6 +138,19 @@ def main():
                          "delta_ms": round(ms - prev, 2)}
         print(f"{name:15s} {ms:8.2f} ms  (+{ms - prev:6.2f})", flush=True)
         prev = ms
+
+    if use_pallas_roi():
+        base = results["plus_proposals"]["ms"]
+        for name, fn in [("plus_roialign_pallas", stage_roi_pallas),
+                         ("full_predict_pallas", stage_full_pallas)]:
+            per_iter, _ = chained_time(
+                jax.jit(fn), lambda c: (variables, images, c),
+                args.iters, args.warmup)
+            ms = per_iter * 1000.0
+            results[name] = {"ms": round(ms, 2)}
+            print(f"{name:22s} {ms:8.2f} ms", flush=True)
+        results["plus_roialign_pallas"]["delta_vs_proposals_ms"] = round(
+            results["plus_roialign_pallas"]["ms"] - base, 2)
 
     out = {"metric": "faster_rcnn_stage_profile", "batch": B,
            "dtype": args.dtype, "image_size": S, "stages": results}
