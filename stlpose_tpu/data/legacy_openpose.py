@@ -142,3 +142,120 @@ def generate_pafs(image_shape, annotations: Sequence[dict],
         out[2 * i] = acc_x / P
         out[2 * i + 1] = acc_y / P
     return out
+
+
+# ---------------------------------------------------------------------------
+# Person-mask rasterizer (reference: data/data_processing.py:440-470
+# ``get_mask`` — dead code there, carried for inventory completeness).
+# The reference decodes each annotation's COCO ``segmentation`` with
+# pycocotools (polygons via frPyObjects, RLE dicts directly) and zeroes the
+# mask where the person is. This version needs no pycocotools: polygons are
+# filled with a vectorized even-odd (crossing-number) test at pixel centers
+# (x+0.5, y+0.5), and both uncompressed (counts list) and compressed
+# (counts string, COCO's 5-bit LEB128 + delta scheme) RLEs are decoded in
+# numpy. Two documented divergences from the reference, both defect fixes:
+#   * multi-polygon segmentations are UNIONED; the reference keeps only
+#     decode(...)[:, :, 0] — the first polygon — silently dropping the rest
+#     (data_processing.py:464-466).
+#   * polygon boundary pixels follow the pixel-center even-odd convention
+#     rather than pycocotools' 5x-upsampled boundary walk; interiors agree,
+#     edge pixels can differ by at most the boundary row/column.
+# ---------------------------------------------------------------------------
+
+
+def _decode_rle_counts_string(s) -> list:
+    """COCO compressed-RLE counts string -> list of run lengths.
+
+    Each count is a little-endian sequence of 5-bit groups in chars
+    (ord - 48), bit 0x20 = continuation, sign-extended via bit 0x10 of the
+    last group; counts after the first two are deltas vs counts[i-2].
+    """
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    counts: list = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[i]) - 48
+            i += 1
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def _decode_rle(counts: Sequence[int], height: int, width: int):
+    """Run-length counts (column-major, starting with background) -> (H, W)
+    uint8 mask."""
+    flat = np.zeros(height * width, np.uint8)
+    pos = 0
+    val = 0
+    for c in counts:
+        c = int(c)
+        flat[pos:pos + c] = val
+        pos += c
+        val = 1 - val
+    return flat.reshape((width, height)).T
+
+
+def _fill_polygon(height: int, width: int, poly: Sequence[float]):
+    """Even-odd fill of a flat [x0, y0, x1, y1, ...] polygon at pixel
+    centers -> (H, W) bool."""
+    xs = np.asarray(poly[0::2], np.float64)
+    ys = np.asarray(poly[1::2], np.float64)
+    if xs.size < 3:
+        return np.zeros((height, width), bool)
+    px = np.arange(width, dtype=np.float64) + 0.5
+    py = (np.arange(height, dtype=np.float64) + 0.5)[:, None]
+    inside = np.zeros((height, width), bool)
+    x1 = np.roll(xs, -1)
+    y1 = np.roll(ys, -1)
+    for ex0, ey0, ex1, ey1 in zip(xs, ys, x1, y1):
+        if ey0 == ey1:
+            continue
+        crosses = (ey0 <= py) != (ey1 <= py)  # (H, 1)
+        xint = ex0 + (py - ey0) * (ex1 - ex0) / (ey1 - ey0)  # (H, 1)
+        inside ^= crosses & (px[None, :] < xint)
+    return inside
+
+
+def segmentation_to_mask(segmentation, height: int, width: int):
+    """One COCO ``segmentation`` field -> (H, W) float32 binary mask.
+
+    Accepts polygon lists (unioned), uncompressed RLE dicts (counts list)
+    and compressed RLE dicts (counts str/bytes).
+    """
+    if isinstance(segmentation, dict):
+        counts = segmentation["counts"]
+        h, w = segmentation["size"]
+        if isinstance(counts, (str, bytes)):
+            counts = _decode_rle_counts_string(counts)
+        return _decode_rle(counts, int(h), int(w)).astype(np.float32)
+    out = np.zeros((height, width), bool)
+    for poly in segmentation:
+        out |= _fill_polygon(height, width, poly)
+    return out.astype(np.float32)
+
+
+def person_mask(image_shape, annotations: Sequence[dict]):
+    """Binary mask that EXCLUDES labeled people: 1 everywhere, 0 on every
+    annotated person's segmentation (reference get_mask contract,
+    data_processing.py:456-470)."""
+    H, W = int(image_shape[0]), int(image_shape[1])
+    mask = np.ones((H, W), np.float32)
+    for ann in annotations:
+        seg = ann.get("segmentation")
+        if not seg:
+            continue
+        m = segmentation_to_mask(seg, H, W)
+        if m.shape == (H, W):
+            mask[m > 0.5] = 0.0
+    return mask
