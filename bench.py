@@ -433,16 +433,24 @@ def bench_train(batch, iters, warmup, dtype="float32"):
                        "iters": iters, "loss": round(chk, 4)}}
 
 
-def bench_detector(batch, iters, warmup, dtype="float32"):
+def bench_detector(batch, iters, warmup, dtype="float32", preset=None):
     """Faster R-CNN inference (fwd + proposals + heads + NMS) images/sec.
 
     dtype="bfloat16" benches the mixed-precision serving configuration
-    (backbone/FPN/heads and the RoIAlign interpolation matmuls in bf16)."""
+    (backbone/FPN/heads and the RoIAlign interpolation matmuls in bf16).
+    preset="torchvision_parity" benches the AP-parity eval budgets
+    (pre/post-NMS 1000/1000, 100 dets/img — the reference's torchvision
+    defaults) so the cost of the parity configuration vs the serving
+    defaults is a measured number."""
     jax = _setup()
     import jax.numpy as jnp
-    from stlpose_tpu.models.faster_rcnn import FasterRCNN
+    from stlpose_tpu.models.faster_rcnn import (FasterRCNN,
+                                                FASTER_RCNN_TORCHVISION_PARITY)
 
-    model = FasterRCNN(dtype=jnp.dtype(dtype))
+    cfg = (FASTER_RCNN_TORCHVISION_PARITY
+           if preset == "torchvision_parity" else None)
+    model = (FasterRCNN(cfg, dtype=jnp.dtype(dtype)) if cfg is not None
+             else FasterRCNN(dtype=jnp.dtype(dtype)))
     S = model.config.image_size
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -460,11 +468,14 @@ def bench_detector(batch, iters, warmup, dtype="float32"):
     per_iter, chk = _chained_time(
         infer, lambda c: (variables, images, c), iters, warmup)
     suffix = "" if dtype == "float32" else "_bf16"
+    if preset:
+        suffix += f"_{preset}"
     return {"metric": f"faster_rcnn_inference_throughput{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "images/sec/chip",
             "vs_baseline": None,
             "detail": {"batch": batch, "image_size": S, "dtype": dtype,
+                       "preset": preset,
                        "ms_per_iter": round(per_iter * 1000, 2),
                        "iters": iters, "checksum": round(chk, 2)}}
 
@@ -687,6 +698,9 @@ def main():
     ap.add_argument("--dets-per-img", type=int, default=16,
                     help="per-image detection pad (--mode twostage) / "
                          "compacted crop budget (--mode twostage_compact)")
+    ap.add_argument("--preset", default=None,
+                    choices=[None, "torchvision_parity"],
+                    help="detector config preset for --mode detector")
     ap.add_argument("--detector-family", default="faster_rcnn",
                     choices=["faster_rcnn", "efficientdet"],
                     help="detector stage for --mode twostage_compact")
@@ -705,7 +719,8 @@ def main():
                              dtype=args.dtype)
     elif args.mode == "detector":
         result = bench_detector(min(args.batch, 16), args.iters,
-                                args.warmup, dtype=args.dtype)
+                                args.warmup, dtype=args.dtype,
+                                preset=args.preset)
     elif args.mode == "efficientdet":
         result = bench_efficientdet(min(args.batch, 16), args.iters,
                                     args.warmup, compound=args.compound,

@@ -19,7 +19,8 @@ import numpy as np
 from stlpose_tpu.config import CONFIG
 from stlpose_tpu.data.loaders import get_detection_dataset
 from stlpose_tpu.models.faster_rcnn import (FasterRCNN, FasterRCNNConfig,
-                                            FASTER_RCNN_TINY)
+                                            FASTER_RCNN_TINY,
+                                            FASTER_RCNN_TORCHVISION_PARITY)
 from stlpose_tpu.parallel import get_mesh, shard_batch
 from stlpose_tpu.parallel.detector_steps import (make_detector_train_step,
                                                  make_detector_predict)
@@ -64,6 +65,13 @@ DETECTOR_CONFIGS = {
     "faster_rcnn_tiny": lambda: (FasterRCNN(FASTER_RCNN_TINY,
                                             dtype=_detector_dtype()),
                                  FASTER_RCNN_TINY),
+    # torchvision-default budgets (pre/post-NMS 1000/1000 test, 100 dets/
+    # img) for AP-parity evaluation; the bare "faster_rcnn" keeps the
+    # tighter serving budgets (see models/faster_rcnn.py preset docstring)
+    "faster_rcnn_torchvision_parity": lambda: (
+        FasterRCNN(FASTER_RCNN_TORCHVISION_PARITY,
+                   dtype=_detector_dtype()),
+        FASTER_RCNN_TORCHVISION_PARITY),
     "efficientdet": _efficientdet_factory("d0"),
     "efficientdet_d0": _efficientdet_factory("d0"),
     "efficientdet_d3": _efficientdet_factory("d3"),

@@ -75,6 +75,20 @@ class FasterRCNNConfig:
     detections_per_img: int = 64
 
 
+# Eval preset matching torchvision fasterrcnn_resnet50_fpn's proposal/
+# detection budgets — what the reference actually fine-tunes and evaluates
+# (reference: lib/model_setup.py:70-73 uses torchvision defaults verbatim:
+# pre/post-NMS 1000/1000 at test, 2000/2000 at train, 100 detections/img).
+# The default FasterRCNNConfig above uses deliberately tighter budgets
+# (500/256/64) as the SERVING configuration; use this preset for AP-parity
+# runs so a budget gap is never mis-attributed to numerics
+# (scripts/RUNBOOK_AP_PARITY.md).
+FASTER_RCNN_TORCHVISION_PARITY = FasterRCNNConfig(
+    pre_nms_top_n_train=2000, pre_nms_top_n_test=1000,
+    post_nms_top_n_train=2000, post_nms_top_n_test=1000,
+    detections_per_img=100)
+
+
 FASTER_RCNN_TINY = FasterRCNNConfig(
     stage_sizes=(1, 1, 1, 1), width=8, fpn_channels=32, image_size=128,
     pre_nms_top_n_train=64, pre_nms_top_n_test=64,

@@ -229,3 +229,27 @@ class TestDetectorEngine:
         for ap in logs["valid_ap"]:
             lr = sim.step(ap, lr)
         assert get_current_lr(tr.state.opt_state) == pytest.approx(lr)
+
+
+def test_torchvision_parity_preset():
+    """The AP-parity eval preset must carry torchvision
+    fasterrcnn_resnet50_fpn's proposal/detection budgets exactly
+    (reference: lib/model_setup.py:70-73 uses torchvision defaults) while
+    the bare config keeps the documented tighter serving budgets."""
+    from stlpose_tpu.models.faster_rcnn import (
+        FasterRCNNConfig, FASTER_RCNN_TORCHVISION_PARITY)
+    from stlpose_tpu.engines.detector_trainer import DETECTOR_CONFIGS
+
+    p = FASTER_RCNN_TORCHVISION_PARITY
+    assert (p.pre_nms_top_n_test, p.post_nms_top_n_test) == (1000, 1000)
+    assert (p.pre_nms_top_n_train, p.post_nms_top_n_train) == (2000, 2000)
+    assert p.detections_per_img == 100
+    assert p.score_thresh == 0.05 and p.nms_thresh == 0.5
+    # everything not a budget matches the default config (same network)
+    d = FasterRCNNConfig()
+    for f in ("num_classes", "image_size", "anchor_sizes", "strides",
+              "fpn_channels", "box_weights"):
+        assert getattr(p, f) == getattr(d, f)
+    det, cfg = DETECTOR_CONFIGS["faster_rcnn_torchvision_parity"]()
+    assert cfg is FASTER_RCNN_TORCHVISION_PARITY
+    assert det.config.detections_per_img == 100
