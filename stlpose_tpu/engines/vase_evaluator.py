@@ -48,7 +48,8 @@ class VaseEvaluator:
                  detector_checkpoint=None, dataset_name: str = "red_black",
                  data_path=None, bbox_thr: float = 0.5,
                  kpt_thr: float = 0.1, max_dets: int = 8,
-                 detector_config=None, save: bool = True):
+                 detector_config=None, save: bool = True,
+                 use_fused: bool | None = None, crop_budget: int | None = None):
         self.exp_path = exp_path
         self.exp_data = load_experiment_parameters(exp_path)
         self.checkpoint = checkpoint
@@ -60,6 +61,21 @@ class VaseEvaluator:
         self.max_dets = max_dets
         self.detector_config = detector_config
         self.save = save
+        # fused = the whole two-stage pass (detector -> filtering ->
+        # compaction -> crops -> pose -> decode) as ONE jit program, host
+        # only for rendering — the same program bench.py's twostage_compact
+        # mode times, so the engine's number IS the bench's number.
+        # None = auto: fused on a single-device mesh, host path (which
+        # routes through make_detector_predict's shard_map handling) on
+        # multi-device meshes.
+        self.use_fused = use_fused
+        # static crop budget of the fused program; None = B * max_dets
+        # (exact equality with the host path — nothing dropped). Set lower
+        # for dense serving batches: compaction keeps the highest-score
+        # detections batch-wide and drops the tail, trading completeness
+        # for a smaller pose batch.
+        self.crop_budget = crop_budget
+        self._fused_cache = {}
         self.plots_path = os.path.join(exp_path, "plots",
                                        f"vases_{dataset_name}")
 
@@ -100,13 +116,112 @@ class VaseEvaluator:
                 only_model=True)
         self.pose_infer = make_infer_fn(self.pose_model, self.mesh,
                                         flip_tta=False, decode=False)
+        from stlpose_tpu.ops.pallas_warp import use_pallas_warp
+        self._pallas_crop = use_pallas_warp()
 
     def process_image(self, image01):
         """Full two-stage pass on ONE (S, S, 3) [0,1] image (see
         ``process_images``)."""
         return self.process_images(np.asarray(image01)[None])[0]
 
-    def process_images(self, images01):
+    # ------------------------------------------------------- fused path
+    def _get_fused(self, B: int, budget: int):
+        """One jit program for the whole two-stage pass at a (batch,
+        crop-budget) shape: detector predict -> on-device bbox filtering
+        (class/score/top-max_dets, the device form of
+        ops/bbox_utils.bbox_filtering) -> cross-batch compaction (the
+        bench.py::bench_two_stage_compact program) -> affine crops ->
+        pose forward -> per-crop AND full-image decode. Host touches only
+        the final small arrays (rendering)."""
+        key = (B, budget)
+        if key in self._fused_cache:
+            return self._fused_cache[key]
+        det, pose_model = self.detector, self.pose_model
+        thr, max_dets = self.bbox_thr, self.max_dets
+        pallas_crop = self._pallas_crop
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
+        def fused(det_vars, pose_vars, images01):
+            dets = det.predict(det_vars, images01)
+            boxes, scores = dets["boxes"], dets["scores"]
+            keep = (dets["valid"] & (dets["labels"] == 1) &
+                    (scores >= thr))
+            masked = jnp.where(keep, scores, -jnp.inf)
+            m = min(max_dets, masked.shape[1])
+            top_s, top_i = jax.lax.top_k(masked, m)         # (B, m)
+            sel_boxes = jnp.take_along_axis(boxes, top_i[..., None],
+                                            axis=1)
+            sel_valid = top_s > -jnp.inf
+            # cross-batch compaction: composite key = valid-first, then
+            # score (scores live in (0, 1) for both families, so the
+            # global ordering restricted to one image is its per-image
+            # score ordering — crop k of image i pairs with box k)
+            key_flat = (sel_valid.reshape(-1) * 10.0 +
+                        jnp.where(sel_valid, top_s, 0.0).reshape(-1))
+            _, idx = jax.lax.top_k(key_flat, budget)
+            img_idx = (idx // m).astype(jnp.int32)
+            flat_boxes = sel_boxes.reshape(-1, 4)[idx]
+            picked_valid = sel_valid.reshape(-1)[idx]
+            # invalid slots get a unit box: their crops are discarded on
+            # host, but degenerate boxes must not poison the warp with
+            # non-finite math
+            flat_boxes = jnp.where(
+                picked_valid[:, None], flat_boxes,
+                jnp.asarray([0.0, 0.0, 32.0, 32.0], jnp.float32))
+            centers, scales = coords_to_center_scale(flat_boxes,
+                                                     192.0 / 256.0)
+            crops = crop_from_center_scale_batched(
+                images01 * 255.0, centers, scales, img_idx, (192, 256),
+                use_pallas=pallas_crop)
+            x = (crops / 255.0 - mean) / std
+            hm = jnp.transpose(
+                pose_model.apply(pose_vars, x, train=False), (0, 3, 1, 2))
+            coords, maxvals = heatmap_argmax(hm)
+            Hh, Hw = hm.shape[2], hm.shape[3]
+            coords = coords * jnp.asarray(
+                [(192.0 - 1) / (Hw - 1), (256.0 - 1) / (Hh - 1)],
+                jnp.float32)
+            crop_kpts = jnp.concatenate([coords, maxvals[..., None]],
+                                        axis=-1)
+            preds, mv, _ = decode_heatmaps(hm, centers, scales)
+            img_kpts = jnp.concatenate([preds, mv[..., None]], axis=-1)
+            return {"sel_boxes": sel_boxes, "sel_scores": top_s,
+                    "sel_valid": sel_valid, "img_idx": img_idx,
+                    "picked_valid": picked_valid, "crop_kpts": crop_kpts,
+                    "img_kpts": img_kpts}
+
+        f = jax.jit(fused)
+        self._fused_cache[key] = f
+        return f
+
+    def _process_images_fused(self, images01):
+        imgs = np.asarray(images01, np.float32)
+        B = imgs.shape[0]
+        m = min(self.max_dets, self.det_cfg.detections_per_img)
+        budget = self.crop_budget or B * m
+        budget = min(budget, B * m)
+        out = self._get_fused(B, budget)(
+            self.det_state.variables(), self.pose_state.variables(),
+            jnp.asarray(imgs))
+        out = {k: np.array(jnp.asarray(v).astype(jnp.float32))
+               if np.asarray(v).dtype not in (np.bool_, np.int32)
+               else np.asarray(v) for k, v in out.items()}
+        crop_kpts, img_kpts = out["crop_kpts"], out["img_kpts"]
+        for arr in (crop_kpts, img_kpts):
+            arr[arr[..., 2] < self.kpt_thr] = 0
+        results = []
+        for i in range(B):
+            v = out["sel_valid"][i]
+            pick = (out["img_idx"] == i) & out["picked_valid"]
+            results.append({
+                "boxes": out["sel_boxes"][i][v],
+                "scores": out["sel_scores"][i][v],
+                "crop_keypoints": crop_kpts[pick],
+                "image_keypoints": img_kpts[pick]})
+        return results
+
+    def process_images(self, images01, use_fused: bool | None = None):
         """Full two-stage pass on a BATCH of (B, S, S, 3) [0,1] images
         with CROSS-BATCH crop compaction: the valid detections of ALL
         images are gathered into one dense crop batch (static bucketed
@@ -115,9 +230,19 @@ class VaseEvaluator:
         (artwork averages 1-3 persons/image; reference per-image flow:
         04_evaluate_vases_qualitatively.py:176-263).
 
+        By default (fused path, single-device mesh) the ENTIRE pass runs
+        as one jit program (see ``_get_fused``); the host path below is
+        the multi-device/sharded fallback and the equality oracle
+        (tests/test_two_stage_and_extractor.py).
+
         Returns a list of B dicts: boxes/scores after filtering, per-crop
         keypoints (crop space, K x J x 3) and full-image keypoints.
         """
+        if use_fused is None:
+            use_fused = (self.use_fused if self.use_fused is not None
+                         else self.mesh.devices.size == 1)
+        if use_fused:
+            return self._process_images_fused(images01)
         n_dev = max(self.mesh.devices.size, 1)
         imgs = np.asarray(images01, np.float32)
         B = imgs.shape[0]

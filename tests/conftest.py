@@ -18,3 +18,22 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.RandomState(13)
+
+
+@pytest.fixture(scope="session")
+def detector_scene_batch():
+    """Synthetic detector scenes shared by the overfit-based instruments."""
+    from tests.detector_overfit import make_scenes
+    return make_scenes()
+
+
+@pytest.fixture(scope="session")
+def trained_tiny_frcnn(detector_scene_batch):
+    """(detector, trained_variables): tiny Faster R-CNN overfit until its
+    detections are meaningful (~2 min; session-scoped so the bf16-accuracy
+    and fused-engine tests share ONE training run)."""
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
+    from tests.detector_overfit import overfit_detector
+    det = FasterRCNN(FASTER_RCNN_TINY)
+    trained = overfit_detector(det, detector_scene_batch, steps=300)
+    return det, trained

@@ -1,0 +1,85 @@
+"""Shared overfit harness for detector-accuracy instruments: synthetic
+bright-rectangle scenes + a loss_fn/optax overfit loop that produces a tiny
+detector with MEANINGFUL detections (used by the bf16 accuracy bounds and
+the two-stage fused-engine equality test — VERDICT r3 weak #1/#3)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+S = 128        # tiny-config canvas side (both detector families)
+N = 8          # scene batch
+K = 2          # padded boxes per image
+
+
+def make_scenes(seed=0):
+    """N noisy dark scenes with 1-2 bright solid rectangles + GT boxes."""
+    rng = np.random.RandomState(seed)
+    imgs, bxs, msk = [], [], []
+    for _ in range(N):
+        img = rng.rand(S, S, 3).astype(np.float32) * 0.15
+        boxes = []
+        for _ in range(rng.randint(1, K + 1)):
+            w, h = rng.randint(28, 60), rng.randint(28, 60)
+            x1, y1 = rng.randint(0, S - w), rng.randint(0, S - h)
+            img[y1:y1 + h, x1:x1 + w] = 0.7 + 0.3 * rng.rand(3)
+            boxes.append([x1, y1, x1 + w, y1 + h])
+        imgs.append(img)
+        pad = np.zeros((K, 4), np.float32)
+        m = np.zeros((K,), np.float32)
+        pad[:len(boxes)] = np.asarray(boxes, np.float32)
+        m[:len(boxes)] = 1
+        bxs.append(pad)
+        msk.append(m)
+    return {"image": jnp.asarray(np.stack(imgs)),
+            "boxes": jnp.asarray(np.stack(bxs)),
+            "labels": jnp.ones((N, K), jnp.int32),
+            "box_mask": jnp.asarray(np.stack(msk))}
+
+
+def overfit_detector(detector, batch, steps, lr=1e-3, refresh_steps=0):
+    """Overfit ``detector`` (FasterRCNN/EfficientDet facade) on one scene
+    batch; returns trained {params, batch_stats}. ``refresh_steps`` runs
+    forward-only passes at the final params to converge momentum-0.99 BN
+    running stats (EfficientDet needs this — see
+    test_detector_bf16_accuracy.py module docstring)."""
+    variables = detector.init(jax.random.PRNGKey(0), batch_size=1)
+    params, bstats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, bstats, opt, rng):
+        def lf(p):
+            total, (_, ns) = detector.loss_fn(
+                {"params": p, "batch_stats": bstats}, batch, rng,
+                train=True)
+            return total, ns
+
+        (loss, ns), g = jax.value_and_grad(lf, has_aux=True)(params)
+        u, opt = tx.update(g, opt)
+        return optax.apply_updates(params, u), ns, opt, loss
+
+    key = jax.random.PRNGKey(1)
+    first = last = None
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        params, bstats, opt, loss = step(params, bstats, opt, k)
+        if i == 0:
+            first = float(loss)
+        last = float(loss)
+    assert last < 0.25 * first, f"overfit did not converge: {first}->{last}"
+
+    if refresh_steps:
+        @jax.jit
+        def refresh(bstats):
+            _, upd = detector.module.apply(
+                {"params": params, "batch_stats": bstats}, batch["image"],
+                train=True, mutable=["batch_stats"])
+            return upd["batch_stats"]
+
+        for _ in range(refresh_steps):
+            bstats = refresh(bstats)
+    return {"params": params, "batch_stats": bstats}

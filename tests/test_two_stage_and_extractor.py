@@ -83,6 +83,77 @@ class TestVaseEvaluator:
                                        single["image_keypoints"],
                                        atol=1e-3)
 
+    def test_fused_engine_matches_host_path_real_validity(
+            self, workspace, trained_tiny_frcnn, detector_scene_batch):
+        """The fused single-program engine path (detector -> on-device
+        bbox filtering -> compaction -> crops -> pose -> decode; what
+        bench.py's twostage modes time) must return the SAME results as
+        the host-filtering fallback — with REAL validity: a TRAINED tiny
+        detector, live score thresholding at bbox_thr=0.5, variable
+        per-image detection counts (VERDICT r3 weak #2/#3)."""
+        _, exp_path = workspace
+        det, trained = trained_tiny_frcnn
+        ev = VaseEvaluator(exp_path, dataset_name="ccoimages_final",
+                           bbox_thr=0.5, max_dets=4,
+                           detector_config="faster_rcnn_tiny", save=False)
+        # inject the trained detector + its scenes (no vase files needed)
+        ev.detector, ev.det_cfg = det, det.config
+        ev.setup_models(config_name="tiny", pretrained=None)
+        ev.det_state = ev.det_state.replace(
+            params=trained["params"], batch_stats=trained["batch_stats"])
+
+        images = np.asarray(detector_scene_batch["image"])    # (8,S,S,3)
+        fused = ev.process_images(images, use_fused=True)
+        host = ev.process_images(images, use_fused=False)
+        assert len(fused) == len(host) == len(images)
+        # the trained detector produces REAL variable validity: some
+        # images must have >0 and the counts must vary or at least be
+        # meaningful (every scene has 1-2 objects)
+        counts = [len(r["boxes"]) for r in host]
+        assert sum(counts) >= len(images), counts
+        for i in range(len(images)):
+            assert len(fused[i]["boxes"]) == counts[i]
+            np.testing.assert_allclose(fused[i]["boxes"], host[i]["boxes"],
+                                       atol=1e-4)
+            np.testing.assert_allclose(fused[i]["scores"],
+                                       host[i]["scores"], atol=1e-5)
+            np.testing.assert_allclose(fused[i]["crop_keypoints"],
+                                       host[i]["crop_keypoints"],
+                                       atol=1e-3)
+            np.testing.assert_allclose(fused[i]["image_keypoints"],
+                                       host[i]["image_keypoints"],
+                                       atol=1e-3)
+
+    def test_fused_engine_budget_drops_lowest_scores(
+            self, workspace, trained_tiny_frcnn, detector_scene_batch):
+        """With crop_budget < total detections, compaction keeps the
+        globally highest-scoring detections and drops the tail — the
+        documented serving trade."""
+        _, exp_path = workspace
+        det, trained = trained_tiny_frcnn
+        ev = VaseEvaluator(exp_path, dataset_name="ccoimages_final",
+                           bbox_thr=0.5, max_dets=4,
+                           detector_config="faster_rcnn_tiny", save=False,
+                           crop_budget=4)
+        ev.detector, ev.det_cfg = det, det.config
+        ev.setup_models(config_name="tiny", pretrained=None)
+        ev.det_state = ev.det_state.replace(
+            params=trained["params"], batch_stats=trained["batch_stats"])
+
+        images = np.asarray(detector_scene_batch["image"])
+        res = ev.process_images(images, use_fused=True)
+        n_crops = sum(len(r["crop_keypoints"]) for r in res)
+        n_boxes = sum(len(r["boxes"]) for r in res)
+        assert n_crops <= 4 <= n_boxes
+        # the crops that DID run must be the top-scoring detections
+        all_scores = np.sort(np.concatenate(
+            [r["scores"] for r in res]))[::-1]
+        kept_scores = []
+        for r in res:
+            kept_scores.extend(r["scores"][:len(r["crop_keypoints"])])
+        assert np.min(kept_scores) >= all_scores[min(3, len(all_scores)-1)] \
+            - 1e-6
+
 
 class TestArchDataExtractor:
     def test_extract_and_save_db(self, workspace, tmp_path):
