@@ -14,15 +14,21 @@ N = 8          # scene batch
 K = 2          # padded boxes per image
 
 
-def make_scenes(seed=0):
-    """N noisy dark scenes with 1-2 bright solid rectangles + GT boxes."""
+def make_scenes(seed=0, max_objects=K, size_range=(28, 60)):
+    """N noisy dark scenes with 1..max_objects bright solid rectangles +
+    GT boxes. max_objects=1 with a larger size_range gives the CLEAN
+    harness (unambiguous anchors, few duplicate detections) that makes
+    set-level statistics like strict AP stable for the anchor-dense
+    EfficientDet family."""
     rng = np.random.RandomState(seed)
+    lo, hi = size_range
     imgs, bxs, msk = [], [], []
     for _ in range(N):
         img = rng.rand(S, S, 3).astype(np.float32) * 0.15
         boxes = []
-        for _ in range(rng.randint(1, K + 1)):
-            w, h = rng.randint(28, 60), rng.randint(28, 60)
+        n_obj = 1 if max_objects == 1 else rng.randint(1, max_objects + 1)
+        for _ in range(n_obj):
+            w, h = rng.randint(lo, hi), rng.randint(lo, hi)
             x1, y1 = rng.randint(0, S - w), rng.randint(0, S - h)
             img[y1:y1 + h, x1:x1 + w] = 0.7 + 0.3 * rng.rand(3)
             boxes.append([x1, y1, x1 + w, y1 + h])
