@@ -52,6 +52,12 @@ DEFAULT_ARGS = {
         "train_set": "train2017",
         "shuffle_train": False,
         "shuffle_test": False,
+        # inline AdaIN stylization (BASELINE config #4 upgrade of the
+        # reference's OFFLINE styled-COCO directories,
+        # data/data_loaders.py:84-100): dict {style_dir, decoder_ckpt?,
+        # vgg_weights?, alpha?, apply_to_valid?} or None (off). Built
+        # into the train pipeline by data/loaders.py::load_dataset.
+        "inline_style": None,
     },
     "model": {
         "model_name": "HRNet",

@@ -108,6 +108,16 @@ def load_dataset(exp_data: dict, train: bool = True, validation: bool = True,
     # device_warp: host only letterboxes; crop warps + targets run batched
     # on device (BASELINE config #2). Toggle via the dataset group.
     dw = bool(exp_data["dataset"].get("device_warp", False))
+    # inline AdaIN stylization (BASELINE config #4): built here so the
+    # whole CLI surface (02_train and friends) reaches it through the
+    # dataset.inline_style experiment parameter alone
+    stylizer = style_bank = None
+    style_alpha = 1.0
+    ics = exp_data["dataset"].get("inline_style")
+    if ics:
+        from stlpose_tpu.models.adain import build_inline_stylizer
+        stylizer, style_bank, style_alpha = build_inline_stylizer(ics)
+    styled_valid = bool(ics.get("apply_to_valid")) if ics else False
     train_pipe = valid_pipe = None
     if train:
         recs = build_pose_records(exp_data, "train", perceptual_loss_dict,
@@ -115,13 +125,18 @@ def load_dataset(exp_data: dict, train: bool = True, validation: bool = True,
         train_pipe = PoseDataPipeline(
             recs, bs, is_train=True, exp_data=exp_data,
             shuffle=shuffle_train, num_workers=nw,
-            pad_multiple=pad_multiple, drop_last=True, device_warp=dw)
+            pad_multiple=pad_multiple, drop_last=True, device_warp=dw,
+            stylizer=stylizer, style_bank=style_bank,
+            style_alpha=style_alpha)
     if validation:
         recs = build_pose_records(exp_data, "valid", perceptual_loss_dict,
                                   None, data_path)
         valid_pipe = PoseDataPipeline(
             recs, bs, is_train=False, shuffle=shuffle_valid,
-            num_workers=nw, pad_multiple=pad_multiple, device_warp=dw)
+            num_workers=nw, pad_multiple=pad_multiple, device_warp=dw,
+            stylizer=stylizer if styled_valid else None,
+            style_bank=style_bank if styled_valid else None,
+            style_alpha=style_alpha)
     return train_pipe, valid_pipe
 
 

@@ -137,6 +137,12 @@ class PoseDataPipeline:
         self.style_bank = (np.asarray(style_bank, np.float32)
                            if style_bank is not None else None)
         self.style_alpha = style_alpha
+        if device_warp and stylizer is not None:
+            # the device-warp collate normalizes inside its fused program;
+            # silently skipping stylization there would be a wrong result,
+            # not a slow one
+            raise ValueError("inline stylization is not supported with "
+                             "device_warp=True; use the host-warp pipeline")
         self.rng = np.random.RandomState(seed)
         self.aug = None
         if is_train and exp_data is not None:

@@ -197,3 +197,64 @@ def train_adain_decoder(encoder, enc_variables, decoder, dec_params,
         if callback is not None:
             callback(len(history), history[-1])
     return dec_params, history
+
+
+def build_inline_stylizer(inline_cfg, crop_hw=(256, 192)):
+    """(stylizer, style_bank, alpha) from the ``dataset.inline_style``
+    experiment parameter — the CLI entry point of BASELINE config #4
+    ("style-transfer-augmented training with the VGG stylizer inline"),
+    upgrading the reference's offline styled-image directories
+    (data/data_loaders.py:84-100) to an in-pipeline XLA stage.
+
+    Args:
+      inline_cfg: dict with keys
+        style_dir (required): directory of style exemplar images;
+        decoder_ckpt: npz with trained AdaIN decoder params
+          (scripts/aux_train_adain_decoder.py output) — default-init
+          decoder otherwise;
+        vgg_weights: torchvision VGG16 ``.pth`` for the encoder —
+          random (fixed) features otherwise;
+        alpha: stylization strength (default 1.0).
+      crop_hw: (H, W) the style exemplars are resized to (the pose crop
+        shape, so one jit program covers content and style encoding).
+
+    Returns (None, None, 1.0) when inline_cfg is falsy or has no
+    style_dir.
+    """
+    import os
+
+    import numpy as np
+
+    if not inline_cfg or not inline_cfg.get("style_dir"):
+        return None, None, 1.0
+    import cv2
+
+    style_dir = inline_cfg["style_dir"]
+    files = [f for f in sorted(os.listdir(style_dir))
+             if f.lower().endswith((".jpg", ".jpeg", ".png"))]
+    if not files:
+        raise FileNotFoundError(
+            f"inline_style.style_dir has no images: {style_dir}")
+    H, W = crop_hw
+    bank = np.stack([
+        cv2.resize(cv2.cvtColor(cv2.imread(os.path.join(style_dir, f)),
+                                cv2.COLOR_BGR2RGB), (W, H))
+        .astype(np.float32) / 255.0 for f in files])
+
+    enc_vars = None
+    if inline_cfg.get("vgg_weights"):
+        import torch
+
+        from stlpose_tpu.models.vgg import torch_vgg16_to_flax
+        state = {k: v.numpy() for k, v in
+                 torch.load(inline_cfg["vgg_weights"],
+                            map_location="cpu").items()}
+        enc_vars = torch_vgg16_to_flax(state, taps=AdaINStylizer.ENC_TAPS)
+    dec_vars = None
+    if inline_cfg.get("decoder_ckpt"):
+        import numpy as np
+        blob = np.load(inline_cfg["decoder_ckpt"], allow_pickle=True)
+        dec_vars = {"params": blob["params"].item()}
+    stylizer = AdaINStylizer(enc_variables=enc_vars,
+                             dec_variables=dec_vars)
+    return stylizer, bank, float(inline_cfg.get("alpha", 1.0))

@@ -42,11 +42,18 @@ from stlpose_tpu.ops.roi_align import SHORT_EXTENT, _assign_levels, \
 
 CHUNK = 512          # boxes per pallas_call: bounds SMEM prefetch size
 # Pallas-path patch budget: the short axis needs <= ~30 rows, but Mosaic
-# requires the DMA row offset to be sublane-tile aligned (16 covers both
-# f32 and bf16 tiles), so the origin rounds DOWN to a 16-multiple and the
-# extent covers worst-case misalignment: 15 + 30 rounded up -> 48
-ALIGN = 16
-SHORT_PAL = 48
+# requires the DMA row offset to be sublane-tile aligned. The sublane
+# tile is DTYPE-dependent — 8 rows for f32, 16 for bf16 — so the origin
+# rounds DOWN to the dtype's tile and the extent covers worst-case
+# misalignment: f32 7 + 30 -> 40, bf16 15 + 30 -> 48. The smaller f32
+# window cuts the per-box DMA ~17% (PROFILE_detector.md DMA budget).
+
+
+def _dma_geometry(dtype):
+    """(ALIGN, SHORT_PAL) for the dtype's sublane tile."""
+    if jnp.dtype(dtype).itemsize >= 4:
+        return 8, 40
+    return 16, 48
 
 
 def use_pallas_roi() -> bool:
@@ -65,7 +72,7 @@ def use_pallas_roi() -> bool:
 
 def _roi_kernel(src_ref, os_ref, c0_ref, wlo_ref, whi_ref, ws_ref,
                 pyr_ref, out_ref, patch0, patch1, sem, *, n_boxes, ns,
-                PAD, C):
+                PAD, C, ALIGN, SHORT_PAL):
     n = pl.program_id(0)
 
     def dma(box, pref, slot):
@@ -129,7 +136,9 @@ def _roi_chunk_call(pyramid, src, o_s, c0, wlo, whi, ws, *, ns, PAD, C,
     """One pallas_call over a CHUNK of boxes. Returns (N, ns_l, ns_s, C)."""
     N = src.shape[0]
     dtype = pyramid.dtype
-    kernel = functools.partial(_roi_kernel, n_boxes=N, ns=ns, PAD=PAD, C=C)
+    ALIGN, SHORT_PAL = _dma_geometry(dtype)
+    kernel = functools.partial(_roi_kernel, n_boxes=N, ns=ns, PAD=PAD, C=C,
+                               ALIGN=ALIGN, SHORT_PAL=SHORT_PAL)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -208,9 +217,10 @@ def multilevel_roi_align_pallas_batched(feature_levels, boxes, strides,
                 canonical_scale, canonical_level))(
             tuple(feature_levels), boxes)
     # Rows get ONE extra ALIGN of zero padding: near the far edge of the
-    # largest map there is otherwise NO 16-aligned 48-row window that both
-    # covers the box's short-axis rows and stays inside PAD rows (the bug
-    # class every level-2 edge box hit on first hardware run).
+    # largest map there is otherwise NO tile-aligned SHORT_PAL-row window
+    # that both covers the box's short-axis rows and stays inside PAD rows
+    # (the bug class every level-2 edge box hit on first hardware run).
+    ALIGN, SHORT_PAL = _dma_geometry(dtype)
     PAD_ROWS = PAD + ALIGN
     # (B, 2L, PAD_ROWS, PAD, C): levels then their transposed copies
     normal = jnp.stack([

@@ -70,7 +70,34 @@ def process_create_experiment_arguments(argv=None):
     p.add_argument("--nms_thr", type=float)
     p.add_argument("--oks_thr", type=float)
     p.add_argument("--use_gt_bbox", type=_bool)
+    # inline AdaIN stylization (dataset.inline_style; BASELINE config #4:
+    # style augmentation as an in-pipeline XLA stage instead of the
+    # reference's offline styled-image dirs, data/data_loaders.py:84-100)
+    p.add_argument("--inline_style_dir", type=str,
+                   help="style-exemplar directory; enables the inline "
+                        "AdaIN stylizer in the train pipeline")
+    p.add_argument("--inline_style_decoder_ckpt", type=str,
+                   help="npz from aux_train_adain_decoder.py")
+    p.add_argument("--inline_style_vgg_weights", type=str)
+    p.add_argument("--inline_style_alpha", type=float)
+    p.add_argument("--inline_style_apply_to_valid", type=_bool)
     args = p.parse_args(argv)
+
+    # fold the flat inline_style_* flags into the single dataset-group
+    # parameter the engines read
+    if args.inline_style_dir:
+        args.inline_style = {
+            "style_dir": args.inline_style_dir,
+            "decoder_ckpt": args.inline_style_decoder_ckpt,
+            "vgg_weights": args.inline_style_vgg_weights,
+            "alpha": (args.inline_style_alpha
+                      if args.inline_style_alpha is not None else 1.0),
+            "apply_to_valid": bool(args.inline_style_apply_to_valid),
+        }
+    for k in ("inline_style_dir", "inline_style_decoder_ckpt",
+              "inline_style_vgg_weights", "inline_style_alpha",
+              "inline_style_apply_to_valid"):
+        delattr(args, k)
 
     if args.batch_size is not None:
         assert args.batch_size >= 1, "batch_size must be >= 1"

@@ -165,3 +165,44 @@ def test_serving_export_cli_from_checkpoint(workspace):
     assert os.path.exists(os.path.join(export_dir, "model.stablehlo"))
     manifest = json.load(open(os.path.join(export_dir, "manifest.json")))
     assert manifest["config"] == "tiny" and manifest["bn_folded"]
+
+
+def test_inline_style_train_cli(tmp_path):
+    """BASELINE config #4 from the CLI alone: 01_create_experiment
+    --inline_style_dir ... -> 02_train runs the inline-AdaIN-stylized
+    training pipeline end-to-end (the reference's offline styled-dirs
+    path, data/data_loaders.py:84-100, upgraded to an in-pipeline stage)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+    data = tmp_path / "data"
+    make_coco_dataset(str(data), n_train=4, n_val=2)
+    sdir = tmp_path / "styles"
+    os.makedirs(sdir)
+    for i in range(2):
+        cv2.imwrite(str(sdir / f"s{i}.png"),
+                    (rng.rand(64, 48, 3) * 255).astype(np.uint8))
+
+    env = dict(os.environ, STLPOSE_EXPERIMENTS_PATH=str(tmp_path / "exp"),
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               STLPOSE_MODEL_CONFIG="tiny", STLPOSE_PRETRAINED="")
+    out = subprocess.run(
+        [sys.executable, "scripts/01_create_experiment.py",
+         "-d", "inline_style", "--batch_size", "4", "--num_epochs", "1",
+         "--save_frequency", "1",
+         "--inline_style_dir", str(sdir), "--inline_style_alpha", "0.7"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    exp_path = out.stdout.strip().splitlines()[-1]
+    params = json.load(open(os.path.join(exp_path,
+                                         "experiment_parameters.json")))
+    assert params["dataset"]["inline_style"]["style_dir"] == str(sdir)
+    assert params["dataset"]["inline_style"]["alpha"] == 0.7
+
+    out = subprocess.run(
+        [sys.executable, "scripts/02_train.py", "-d", exp_path,
+         "--data_path", str(data)],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    logs = json.load(open(os.path.join(exp_path, "training_logs.json")))
+    assert len(logs["loss"]["training"]) == 1
+    assert np.isfinite(logs["loss"]["training"][0])
