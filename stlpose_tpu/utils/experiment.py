@@ -61,7 +61,11 @@ def create_experiment(exp_directory: str, overrides: dict | None = None,
     if overrides:
         flat = {}
         for k, v in overrides.items():
-            if isinstance(v, dict):
+            # only explode GROUP-shaped dicts ({"training": {...}});
+            # dict-VALUED parameters (e.g. dataset.inline_style) pass
+            # through whole
+            if isinstance(v, dict) and k in ("dataset", "model",
+                                             "training", "evaluation"):
                 for kk, vv in v.items():
                     flat[kk] = vv
             else:
