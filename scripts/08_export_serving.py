@@ -41,6 +41,18 @@ def main():
     ap.add_argument("--out", default=None,
                     help="output dir (default <exp>/serving_export)")
     ap.add_argument("--platforms", default="tpu,cpu")
+    ap.add_argument("--pipeline", default="pose",
+                    choices=["pose", "two_stage"],
+                    help="two_stage additionally loads the experiment's "
+                         "detector (STLPOSE_DETECTOR_CONFIG / "
+                         "--detector_checkpoint) and exports the fused "
+                         "detector->crops->pose program")
+    ap.add_argument("--detector_checkpoint", default=None)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="static batch of a two_stage export")
+    ap.add_argument("--max_dets", type=int, default=16)
+    ap.add_argument("--bbox_thr", type=float, default=0.5)
+    ap.add_argument("--crop_budget", type=int, default=None)
     args = ap.parse_args()
 
     exp_path = args.exp_directory
@@ -66,9 +78,32 @@ def main():
 
     out_dir = args.out or os.path.join(exp_path, "serving_export")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    export_pose_server(variables, out_dir, config_name=config_name,
-                       input_hw=(hw[1], hw[0]),
-                       platforms=tuple(args.platforms.split(",")))
+    platforms = tuple(args.platforms.split(","))
+    if args.pipeline == "two_stage":
+        from stlpose_tpu.engines.detector_trainer import (
+            build_detector, _DetectorModelShim)
+        from stlpose_tpu.serving.export import export_two_stage_server
+
+        detector, det_cfg = build_detector(
+            exp_data, os.environ.get("STLPOSE_DETECTOR_CONFIG"))
+        det_state, _ = create_train_state(
+            _DetectorModelShim(detector), exp_data,
+            jax.random.PRNGKey(CONFIG["random_seed"]), (1,))
+        if args.detector_checkpoint is not None:
+            det_state, _ = load_checkpoint(
+                det_state, exp_path, args.detector_checkpoint,
+                detector=True, only_model=True)
+        family = ("efficientdet" if "efficientdet" in
+                  type(detector).__name__.lower() else "faster_rcnn")
+        export_two_stage_server(
+            det_state.variables(), variables, out_dir, family=family,
+            det_config=det_cfg, pose_config_name=config_name,
+            bbox_thr=args.bbox_thr, max_dets=args.max_dets,
+            crop_budget=args.crop_budget, static_batch=args.batch,
+            platforms=platforms)
+    else:
+        export_pose_server(variables, out_dir, config_name=config_name,
+                           input_hw=(hw[1], hw[0]), platforms=platforms)
     print(f"exported serving artifact -> {out_dir}")
 
 

@@ -41,6 +41,70 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def build_fused_two_stage(detector, pose_model, *, bbox_thr: float,
+                          max_dets: int, budget: int, pallas_crop: bool):
+    """The whole two-stage pass as ONE pure function
+    ``fused(det_vars, pose_vars, images01) -> dict``: detector predict ->
+    on-device bbox filtering (class/score/top-max_dets, the device form
+    of ops/bbox_utils.bbox_filtering) -> cross-batch crop compaction
+    (the bench.py::bench_two_stage_compact program) -> affine crops ->
+    pose forward -> per-crop AND full-image decode.
+
+    Shared by ``VaseEvaluator`` (jit per batch shape) and
+    ``serving.export.export_two_stage_server`` (AOT artifact).
+    Reference flow being served: 04_evaluate_vases_qualitatively.py:
+    176-263."""
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def fused(det_vars, pose_vars, images01):
+        dets = detector.predict(det_vars, images01)
+        boxes, scores = dets["boxes"], dets["scores"]
+        keep = (dets["valid"] & (dets["labels"] == 1) &
+                (scores >= bbox_thr))
+        masked = jnp.where(keep, scores, -jnp.inf)
+        m = min(max_dets, masked.shape[1])
+        top_s, top_i = jax.lax.top_k(masked, m)             # (B, m)
+        sel_boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+        sel_valid = top_s > -jnp.inf
+        # cross-batch compaction: composite key = valid-first, then
+        # score (scores live in (0, 1) for both families, so the global
+        # ordering restricted to one image is its per-image score
+        # ordering — crop k of image i pairs with box k)
+        key_flat = (sel_valid.reshape(-1) * 10.0 +
+                    jnp.where(sel_valid, top_s, 0.0).reshape(-1))
+        _, idx = jax.lax.top_k(key_flat, budget)
+        img_idx = (idx // m).astype(jnp.int32)
+        flat_boxes = sel_boxes.reshape(-1, 4)[idx]
+        picked_valid = sel_valid.reshape(-1)[idx]
+        # invalid slots get a unit box: their crops are discarded by the
+        # consumer, but degenerate boxes must not poison the warp with
+        # non-finite math
+        flat_boxes = jnp.where(
+            picked_valid[:, None], flat_boxes,
+            jnp.asarray([0.0, 0.0, 32.0, 32.0], jnp.float32))
+        centers, scales = coords_to_center_scale(flat_boxes, 192.0 / 256.0)
+        crops = crop_from_center_scale_batched(
+            images01 * 255.0, centers, scales, img_idx, (192, 256),
+            use_pallas=pallas_crop)
+        x = (crops / 255.0 - mean) / std
+        hm = jnp.transpose(
+            pose_model.apply(pose_vars, x, train=False), (0, 3, 1, 2))
+        coords, maxvals = heatmap_argmax(hm)
+        Hh, Hw = hm.shape[2], hm.shape[3]
+        coords = coords * jnp.asarray(
+            [(192.0 - 1) / (Hw - 1), (256.0 - 1) / (Hh - 1)], jnp.float32)
+        crop_kpts = jnp.concatenate([coords, maxvals[..., None]], axis=-1)
+        preds, mv, _ = decode_heatmaps(hm, centers, scales)
+        img_kpts = jnp.concatenate([preds, mv[..., None]], axis=-1)
+        return {"sel_boxes": sel_boxes, "sel_scores": top_s,
+                "sel_valid": sel_valid, "img_idx": img_idx,
+                "picked_valid": picked_valid, "crop_kpts": crop_kpts,
+                "img_kpts": img_kpts}
+
+    return fused
+
+
 class VaseEvaluator:
     """Engine behind 04_evaluate_vases_qualitatively.py."""
 
@@ -136,62 +200,10 @@ class VaseEvaluator:
         key = (B, budget)
         if key in self._fused_cache:
             return self._fused_cache[key]
-        det, pose_model = self.detector, self.pose_model
-        thr, max_dets = self.bbox_thr, self.max_dets
-        pallas_crop = self._pallas_crop
-        mean = jnp.asarray(IMAGENET_MEAN)
-        std = jnp.asarray(IMAGENET_STD)
-
-        def fused(det_vars, pose_vars, images01):
-            dets = det.predict(det_vars, images01)
-            boxes, scores = dets["boxes"], dets["scores"]
-            keep = (dets["valid"] & (dets["labels"] == 1) &
-                    (scores >= thr))
-            masked = jnp.where(keep, scores, -jnp.inf)
-            m = min(max_dets, masked.shape[1])
-            top_s, top_i = jax.lax.top_k(masked, m)         # (B, m)
-            sel_boxes = jnp.take_along_axis(boxes, top_i[..., None],
-                                            axis=1)
-            sel_valid = top_s > -jnp.inf
-            # cross-batch compaction: composite key = valid-first, then
-            # score (scores live in (0, 1) for both families, so the
-            # global ordering restricted to one image is its per-image
-            # score ordering — crop k of image i pairs with box k)
-            key_flat = (sel_valid.reshape(-1) * 10.0 +
-                        jnp.where(sel_valid, top_s, 0.0).reshape(-1))
-            _, idx = jax.lax.top_k(key_flat, budget)
-            img_idx = (idx // m).astype(jnp.int32)
-            flat_boxes = sel_boxes.reshape(-1, 4)[idx]
-            picked_valid = sel_valid.reshape(-1)[idx]
-            # invalid slots get a unit box: their crops are discarded on
-            # host, but degenerate boxes must not poison the warp with
-            # non-finite math
-            flat_boxes = jnp.where(
-                picked_valid[:, None], flat_boxes,
-                jnp.asarray([0.0, 0.0, 32.0, 32.0], jnp.float32))
-            centers, scales = coords_to_center_scale(flat_boxes,
-                                                     192.0 / 256.0)
-            crops = crop_from_center_scale_batched(
-                images01 * 255.0, centers, scales, img_idx, (192, 256),
-                use_pallas=pallas_crop)
-            x = (crops / 255.0 - mean) / std
-            hm = jnp.transpose(
-                pose_model.apply(pose_vars, x, train=False), (0, 3, 1, 2))
-            coords, maxvals = heatmap_argmax(hm)
-            Hh, Hw = hm.shape[2], hm.shape[3]
-            coords = coords * jnp.asarray(
-                [(192.0 - 1) / (Hw - 1), (256.0 - 1) / (Hh - 1)],
-                jnp.float32)
-            crop_kpts = jnp.concatenate([coords, maxvals[..., None]],
-                                        axis=-1)
-            preds, mv, _ = decode_heatmaps(hm, centers, scales)
-            img_kpts = jnp.concatenate([preds, mv[..., None]], axis=-1)
-            return {"sel_boxes": sel_boxes, "sel_scores": top_s,
-                    "sel_valid": sel_valid, "img_idx": img_idx,
-                    "picked_valid": picked_valid, "crop_kpts": crop_kpts,
-                    "img_kpts": img_kpts}
-
-        f = jax.jit(fused)
+        f = jax.jit(build_fused_two_stage(
+            self.detector, self.pose_model, bbox_thr=self.bbox_thr,
+            max_dets=self.max_dets, budget=budget,
+            pallas_crop=self._pallas_crop))
         self._fused_cache[key] = f
         return f
 

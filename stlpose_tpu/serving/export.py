@@ -204,6 +204,123 @@ def export_detector_server(variables, out_dir: str,
     return out_dir
 
 
+def export_two_stage_server(det_variables, pose_variables, out_dir: str,
+                            family: str = "faster_rcnn",
+                            det_config=None,
+                            pose_config_name: str = "w32_256x192",
+                            bbox_thr: float = 0.5,
+                            max_dets: int = 16,
+                            crop_budget: int | None = None,
+                            static_batch: int = 8,
+                            platforms: Sequence[str] = ("tpu", "cpu"),
+                            dtype=None,
+                            fold: bool = True,
+                            pallas: bool | None = None) -> str:
+    """Export the ENTIRE two-stage pipeline — detector predict ->
+    on-device bbox filtering -> cross-batch crop compaction -> affine
+    crops -> pose forward -> per-crop + full-image decode — as one
+    serving artifact (the ``engines.vase_evaluator.build_fused_two_stage``
+    program; reference flow: 04_evaluate_vases_qualitatively.py:176-263).
+
+    The batch is STATIC: the compaction budget is a compile-time shape
+    (and a tpu-exclusive export may bake the Pallas crop/RoI kernels,
+    whose grids are compile-time constants) — export one artifact per
+    serving batch size, like the Pallas detector buckets.
+
+    Args:
+      det_variables / pose_variables: the two models' variables; pose BN
+        is folded here when ``fold``.
+      crop_budget: compaction budget (default ``static_batch * max_dets``
+        = nothing dropped; lower keeps the globally top-scoring crops).
+      pallas: bake the Mosaic kernels (crop warp + Faster R-CNN
+        RoIAlign). Only a ``platforms=("tpu",)`` export may; default
+        auto = exactly that condition.
+    """
+    import jax
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    from stlpose_tpu.config import get_hrnet_config
+    from stlpose_tpu.engines.vase_evaluator import build_fused_two_stage
+    from stlpose_tpu.models import PoseHighResolutionNet, fold_batchnorms
+
+    dtype = jnp.float32 if dtype is None else dtype
+    tpu_only = tuple(platforms) == ("tpu",)
+    if pallas is None:
+        pallas = tpu_only
+    if pallas and not tpu_only:
+        raise ValueError("Pallas-baked two-stage export must be "
+                         "platforms=('tpu',) — Mosaic custom calls are "
+                         "not portable StableHLO")
+
+    if family == "faster_rcnn":
+        from stlpose_tpu.models.faster_rcnn import FasterRCNN
+        det = (FasterRCNN(det_config, dtype=dtype, pallas_roi=pallas)
+               if det_config is not None
+               else FasterRCNN(dtype=dtype, pallas_roi=pallas))
+    elif family == "efficientdet":
+        from stlpose_tpu.models.efficientdet import (EfficientDet,
+                                                     EFFICIENTDET_D0)
+        det = EfficientDet(det_config if det_config is not None
+                           else EFFICIENTDET_D0, dtype=dtype)
+    else:
+        raise ValueError(f"unknown detector family: {family}")
+
+    pose = PoseHighResolutionNet(config=get_hrnet_config(pose_config_name),
+                                 dtype=dtype, folded=fold)
+    if fold:
+        pose_variables = fold_batchnorms(pose_variables)
+
+    B = int(static_batch)
+    m = min(max_dets, det.config.detections_per_img)
+    budget = int(crop_budget) if crop_budget else B * m
+    budget = min(budget, B * m)
+    fused = build_fused_two_stage(det, pose, bbox_thr=bbox_thr,
+                                  max_dets=max_dets, budget=budget,
+                                  pallas_crop=pallas)
+
+    S = det.config.image_size
+    img_spec = jax.ShapeDtypeStruct((B, S, S, 3), jnp.float32)
+    dv_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype),
+        det_variables)
+    pv_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype),
+        pose_variables)
+
+    exported = jexport.export(
+        jax.jit(fused), platforms=tuple(platforms))(
+        dv_specs, pv_specs, img_spec)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    manifest = {
+        "format": "jax.export/stablehlo",
+        "pipeline": "two_stage",
+        "family": family,
+        "pose_config": pose_config_name,
+        "batch": B,
+        "max_dets": max_dets,
+        "crop_budget": budget,
+        "bbox_thr": bbox_thr,
+        "pallas": bool(pallas),
+        "bn_folded": bool(fold),
+        "compute_dtype": jnp.dtype(dtype).name,
+        "input": {"images": [B, S, S, 3, "float32 (0-1 RGB)"]},
+        "output": ["sel_boxes (B,m,4)", "sel_scores (B,m)",
+                   "sel_valid (B,m)", "img_idx (budget,)",
+                   "picked_valid (budget,)", "crop_kpts (budget,J,3)",
+                   "img_kpts (budget,J,3)"],
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "calling_convention_version":
+            int(exported.calling_convention_version),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
 def load_pose_server(out_dir: str) -> tuple[Callable, dict]:
     """Deserialize an exported artifact; returns (callable, manifest).
 

@@ -206,3 +206,25 @@ def test_inline_style_train_cli(tmp_path):
     logs = json.load(open(os.path.join(exp_path, "training_logs.json")))
     assert len(logs["loss"]["training"]) == 1
     assert np.isfinite(logs["loss"]["training"][0])
+
+
+def test_two_stage_export_cli(workspace):
+    """08_export_serving --pipeline two_stage exports the fused
+    detector->crops->pose artifact from the experiment + env config."""
+    data, exp_path = workspace
+    env = dict(os.environ, STLPOSE_MODEL_CONFIG="tiny",
+               STLPOSE_DETECTOR_CONFIG="faster_rcnn_tiny",
+               STLPOSE_PRETRAINED="", PALLAS_AXON_POOL_IPS="",
+               JAX_PLATFORMS="cpu")
+    out_dir = os.path.join(exp_path, "two_stage_export")
+    out = subprocess.run(
+        [sys.executable, "scripts/08_export_serving.py", "-d", exp_path,
+         "--pipeline", "two_stage", "--platforms", "cpu",
+         "--batch", "2", "--max_dets", "4", "--out", out_dir],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
+    assert manifest["pipeline"] == "two_stage"
+    assert manifest["family"] == "faster_rcnn"
+    assert manifest["batch"] == 2 and manifest["crop_budget"] == 8
+    assert os.path.exists(os.path.join(out_dir, "model.stablehlo"))

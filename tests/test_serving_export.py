@@ -2,6 +2,7 @@
 agreement with the live folded model, batch polymorphism, manifest."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -157,3 +158,51 @@ def test_detector_export_round_trip(tmp_path):
                                    np.asarray(ref["boxes"]), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(got["labels"]),
                                       np.asarray(ref["labels"]))
+
+
+def test_two_stage_export_round_trip(tmp_path):
+    """The fused two-stage pipeline (detector -> filter -> compaction ->
+    crops -> pose -> decode) exports as ONE artifact and the reloaded
+    program matches the live build_fused_two_stage program exactly."""
+    from stlpose_tpu.config import get_hrnet_config
+    from stlpose_tpu.engines.vase_evaluator import build_fused_two_stage
+    from stlpose_tpu.models import PoseHighResolutionNet, fold_batchnorms
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
+    from stlpose_tpu.serving.export import (export_two_stage_server,
+                                            load_pose_server)
+
+    det = FasterRCNN(FASTER_RCNN_TINY)
+    dv = det.init(jax.random.PRNGKey(0))
+    pose = PoseHighResolutionNet(config=get_hrnet_config("tiny"))
+    pv = pose.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 256, 192, 3)), train=False)
+
+    out = export_two_stage_server(
+        dv, pv, str(tmp_path / "two_stage"), family="faster_rcnn",
+        det_config=FASTER_RCNN_TINY, pose_config_name="tiny",
+        bbox_thr=0.0, max_dets=4, static_batch=2, platforms=("cpu",))
+    serve, manifest = load_pose_server(out)
+    assert manifest["pipeline"] == "two_stage"
+    assert manifest["crop_budget"] == 8 and manifest["batch"] == 2
+
+    rng = np.random.RandomState(2)
+    S = det.config.image_size
+    imgs = jnp.asarray(rng.rand(2, S, S, 3).astype(np.float32))
+    pose_folded = PoseHighResolutionNet(config=get_hrnet_config("tiny"),
+                                        folded=True)
+    live = jax.jit(build_fused_two_stage(
+        det, pose_folded, bbox_thr=0.0, max_dets=4, budget=8,
+        pallas_crop=False))
+    ref = live(dv, fold_batchnorms(pv), imgs)
+    got = serve(dv, fold_batchnorms(pv), imgs)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k], np.float32),
+                                   np.asarray(ref[k], np.float32),
+                                   atol=1e-5, err_msg=k)
+
+    # pallas baking demands a tpu-exclusive export
+    with pytest.raises(ValueError, match="tpu"):
+        export_two_stage_server(dv, pv, str(tmp_path / "bad"),
+                                det_config=FASTER_RCNN_TINY,
+                                pose_config_name="tiny",
+                                platforms=("cpu",), pallas=True)
