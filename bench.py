@@ -573,6 +573,17 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
     per_iter = (time.perf_counter() - t0) / iters
     chk = float(sum(np.abs(r["image_keypoints"]).sum() for r in res))
 
+    # same entry point with DEVICE-RESIDENT images: isolates the per-call
+    # H2D upload share (the compact bench keeps images on device, so this
+    # leg is the apples-to-apples comparison with twostage_compact)
+    import jax.numpy as jnp
+    images_dev = jnp.asarray(images)
+    ev.process_images(images_dev)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ev.process_images(images_dev)
+    per_iter_resident = (time.perf_counter() - t0) / iters
+
     suffix = "" if dtype == "float32" else "_bf16"
     if family != "faster_rcnn":
         suffix = f"_{family}{suffix}"
@@ -583,8 +594,13 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
             "detail": {"batch": batch, "image_size": S, "dtype": dtype,
                        "crop_budget": budget, "max_dets": dets_per_img,
                        "ms_per_call": round(per_iter * 1000, 2),
+                       "ms_per_call_device_resident_images":
+                           round(per_iter_resident * 1000, 2),
+                       "imgs_per_sec_device_resident":
+                           round(batch / per_iter_resident, 1),
                        "includes": "H2D image upload + D2H result fetch "
-                                   "+ host result assembly per call",
+                                   "+ host result assembly per call "
+                                   "(resident leg skips the H2D)",
                        "iters": iters, "checksum": round(chk, 2)}}
 
 

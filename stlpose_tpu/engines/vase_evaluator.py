@@ -208,14 +208,18 @@ class VaseEvaluator:
         return f
 
     def _process_images_fused(self, images01):
-        imgs = np.asarray(images01, np.float32)
-        B = imgs.shape[0]
+        # device-resident inputs pass through without a host round trip
+        if isinstance(images01, jnp.ndarray):
+            imgs_dev = images01.astype(jnp.float32)
+        else:
+            imgs_dev = jnp.asarray(np.asarray(images01, np.float32))
+        B = imgs_dev.shape[0]
         m = min(self.max_dets, self.det_cfg.detections_per_img)
         budget = self.crop_budget or B * m
         budget = min(budget, B * m)
         out = self._get_fused(B, budget)(
             self.det_state.variables(), self.pose_state.variables(),
-            jnp.asarray(imgs))
+            imgs_dev)
         out = {k: np.array(jnp.asarray(v).astype(jnp.float32))
                if np.asarray(v).dtype not in (np.bool_, np.int32)
                else np.asarray(v) for k, v in out.items()}
