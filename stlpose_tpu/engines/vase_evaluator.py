@@ -105,6 +105,46 @@ def build_fused_two_stage(detector, pose_model, *, bbox_thr: float,
     return fused
 
 
+def build_fused_two_stage_sharded(detector, pose_model, mesh, *,
+                                  bbox_thr: float, max_dets: int,
+                                  budget_per_device: int,
+                                  pallas_crop: bool):
+    """Multi-device form of :func:`build_fused_two_stage`: the whole
+    two-stage program runs under ``shard_map`` over the data axis — each
+    device detects, filters, compacts (its OWN ``budget_per_device``
+    crop budget), crops, and decodes its batch shard with no
+    collectives; per-device ``img_idx`` are offset to global image
+    indices before un-sharding. This is also how a Pallas-RoIAlign
+    detector serves on a mesh (GSPMD has no partitioning rule for the
+    Mosaic custom call; per-device the program is purely local —
+    parallel/detector_steps.py::make_detector_predict).
+
+    With ``budget_per_device = local_batch * max_dets`` nothing is
+    dropped and results equal the single-device fused program on the
+    same inputs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    inner = build_fused_two_stage(detector, pose_model, bbox_thr=bbox_thr,
+                                  max_dets=max_dets,
+                                  budget=budget_per_device,
+                                  pallas_crop=pallas_crop)
+
+    def local(det_vars, pose_vars, images01):
+        out = inner(det_vars, pose_vars, images01)
+        offset = jax.lax.axis_index("data") * images01.shape[0]
+        out["img_idx"] = out["img_idx"] + offset
+        return out
+
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=(P(), P(), P("data")),
+                        out_specs=P("data"), check_vma=False)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(sharded, in_shardings=(repl, repl, data),
+                   out_shardings=data)
+
+
 class VaseEvaluator:
     """Engine behind 04_evaluate_vases_qualitatively.py."""
 
@@ -200,10 +240,23 @@ class VaseEvaluator:
         key = (B, budget)
         if key in self._fused_cache:
             return self._fused_cache[key]
-        f = jax.jit(build_fused_two_stage(
-            self.detector, self.pose_model, bbox_thr=self.bbox_thr,
-            max_dets=self.max_dets, budget=budget,
-            pallas_crop=self._pallas_crop))
+        n_dev = self.mesh.devices.size
+        if n_dev > 1:
+            if B % n_dev:
+                raise ValueError(
+                    f"fused two-stage on a {n_dev}-device mesh needs the "
+                    f"batch ({B}) divisible by the mesh; use the host "
+                    f"path (use_fused=False) for ragged batches")
+            f = build_fused_two_stage_sharded(
+                self.detector, self.pose_model, self.mesh,
+                bbox_thr=self.bbox_thr, max_dets=self.max_dets,
+                budget_per_device=-(-budget // n_dev),
+                pallas_crop=self._pallas_crop)
+        else:
+            f = jax.jit(build_fused_two_stage(
+                self.detector, self.pose_model, bbox_thr=self.bbox_thr,
+                max_dets=self.max_dets, budget=budget,
+                pallas_crop=self._pallas_crop))
         self._fused_cache[key] = f
         return f
 

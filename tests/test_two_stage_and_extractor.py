@@ -90,7 +90,11 @@ class TestVaseEvaluator:
         bench.py's twostage modes time) must return the SAME results as
         the host-filtering fallback — with REAL validity: a TRAINED tiny
         detector, live score thresholding at bbox_thr=0.5, variable
-        per-image detection counts (VERDICT r3 weak #2/#3)."""
+        per-image detection counts (VERDICT r3 weak #2/#3). On this
+        8-device virtual mesh with B=8 the fused path runs the
+        shard_map form (build_fused_two_stage_sharded, per-device
+        compaction + global img_idx offsets), so this is also the
+        multi-device fused-engine equality check."""
         _, exp_path = workspace
         det, trained = trained_tiny_frcnn
         ev = VaseEvaluator(exp_path, dataset_name="ccoimages_final",
@@ -137,6 +141,11 @@ class TestVaseEvaluator:
                            crop_budget=4)
         ev.detector, ev.det_cfg = det, det.config
         ev.setup_models(config_name="tiny", pretrained=None)
+        # pin the SINGLE-device fused program: on a mesh the budget is
+        # split per shard (local top-k per device), which deliberately
+        # weakens the global-top-scores guarantee this test asserts
+        from stlpose_tpu.parallel import get_mesh
+        ev.mesh = get_mesh(1)
         ev.det_state = ev.det_state.replace(
             params=trained["params"], batch_stats=trained["batch_stats"])
 
