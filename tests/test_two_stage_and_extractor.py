@@ -182,3 +182,43 @@ class TestArchDataExtractor:
         with open(path, "rb") as f:
             loaded = pickle.load(f)
         assert len(loaded) == 4
+
+
+def test_fused_engine_bf16_smoke(workspace, trained_tiny_frcnn,
+                                 detector_scene_batch, monkeypatch):
+    """The fused program in the bf16 serving dtype (STLPOSE_DTYPE knob):
+    finite outputs, and every image that the f32 fused pass detects
+    confidently is detected by the bf16 pass too (set-level bounds are
+    tests/test_detector_bf16_accuracy.py)."""
+    import jax.numpy as jnp
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
+
+    _, exp_path = workspace
+    det_f32, trained = trained_tiny_frcnn
+    images = np.asarray(detector_scene_batch["image"])
+
+    results = {}
+    for dtype_env in ("", "bfloat16"):
+        if dtype_env:
+            monkeypatch.setenv("STLPOSE_DTYPE", dtype_env)
+        else:
+            monkeypatch.delenv("STLPOSE_DTYPE", raising=False)
+        ev = VaseEvaluator(exp_path, dataset_name="ccoimages_final",
+                           bbox_thr=0.5, max_dets=4,
+                           detector_config="faster_rcnn_tiny", save=False)
+        ev.detector = FasterRCNN(
+            FASTER_RCNN_TINY,
+            dtype=jnp.bfloat16 if dtype_env else jnp.float32)
+        ev.det_cfg = FASTER_RCNN_TINY
+        ev.setup_models(config_name="tiny", pretrained=None)
+        ev.det_state = ev.det_state.replace(
+            params=trained["params"], batch_stats=trained["batch_stats"])
+        from stlpose_tpu.parallel import get_mesh
+        ev.mesh = get_mesh(1)
+        results[dtype_env or "f32"] = ev.process_images(images,
+                                                        use_fused=True)
+
+    for r32, r16 in zip(results["f32"], results["bfloat16"]):
+        assert np.isfinite(r16["image_keypoints"]).all()
+        n32 = int((r32["scores"] > 0.6).sum())
+        assert len(r16["boxes"]) >= n32, (len(r16["boxes"]), n32)
