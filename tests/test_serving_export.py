@@ -206,3 +206,61 @@ def test_two_stage_export_round_trip(tmp_path):
                                 det_config=FASTER_RCNN_TINY,
                                 pose_config_name="tiny",
                                 platforms=("cpu",), pallas=True)
+
+
+def test_two_stage_export_efficientdet(tmp_path):
+    """Family swap: the two-stage artifact with an EfficientDet stage."""
+    from stlpose_tpu.config import get_hrnet_config
+    from stlpose_tpu.models import PoseHighResolutionNet
+    from stlpose_tpu.models.efficientdet import (EfficientDet,
+                                                 EFFICIENTDET_TINY)
+    from stlpose_tpu.serving.export import (export_two_stage_server,
+                                            load_pose_server)
+
+    det = EfficientDet(EFFICIENTDET_TINY)
+    dv = det.init(jax.random.PRNGKey(0))
+    pose = PoseHighResolutionNet(config=get_hrnet_config("tiny"))
+    pv = pose.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 256, 192, 3)), train=False)
+    out = export_two_stage_server(
+        dv, pv, str(tmp_path / "ts_eff"), family="efficientdet",
+        det_config=EFFICIENTDET_TINY, pose_config_name="tiny",
+        bbox_thr=0.0, max_dets=4, static_batch=2, platforms=("cpu",))
+    serve, manifest = load_pose_server(out)
+    assert manifest["family"] == "efficientdet"
+    rng = np.random.RandomState(3)
+    S = det.config.image_size
+    imgs = jnp.asarray(rng.rand(2, S, S, 3).astype(np.float32))
+    got = serve(dv, fold_batchnorms(pv), imgs)
+    assert np.asarray(got["crop_kpts"]).shape == (8, 17, 3)
+    assert np.isfinite(np.asarray(got["img_kpts"])).all()
+
+
+def test_two_stage_export_tpu_exclusive_bakes_pallas(tmp_path):
+    """A platforms=("tpu",) two-stage export bakes the Mosaic kernels
+    (crop warp + Faster R-CNN RoIAlign with a 128-channel FPN) into the
+    artifact; lowering/serialization need no TPU."""
+    import dataclasses
+    from jax import export as jexport
+    from stlpose_tpu.config import get_hrnet_config
+    from stlpose_tpu.models import PoseHighResolutionNet
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
+    from stlpose_tpu.serving.export import (export_two_stage_server,
+                                            load_pose_server)
+
+    cfg128 = dataclasses.replace(FASTER_RCNN_TINY, fpn_channels=128)
+    det = FasterRCNN(cfg128, pallas_roi=True)
+    dv = det.init(jax.random.PRNGKey(0))
+    pose = PoseHighResolutionNet(config=get_hrnet_config("tiny"))
+    pv = pose.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 256, 192, 3)), train=False)
+    out = export_two_stage_server(
+        dv, pv, str(tmp_path / "ts_tpu"), family="faster_rcnn",
+        det_config=cfg128, pose_config_name="tiny", bbox_thr=0.5,
+        max_dets=4, static_batch=2, platforms=("tpu",))
+    txt = jexport.deserialize(
+        (tmp_path / "ts_tpu" / "model.stablehlo").read_bytes()
+    ).mlir_module()
+    assert "tpu_custom_call" in txt
+    _, manifest = load_pose_server(str(tmp_path / "ts_tpu"))
+    assert manifest["pallas"] and manifest["platforms"] == ["tpu"]
