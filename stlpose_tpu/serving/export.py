@@ -30,9 +30,12 @@ from typing import Callable, Sequence
 import numpy as np
 
 
-def _build_serving_fn(config_name: str, dtype):
+def _build_serving_fn(config_name: str, dtype, flip_tta: bool = False):
     """The full serving computation as a pure function of (params, crops
-    uint8, centers, scales)."""
+    uint8, centers, scales). With ``flip_tta`` the eval-grade program is
+    built instead: one doubled-batch forward over [crops, mirrored
+    crops], flipped-back heatmaps averaged before decode (the
+    03_evaluate path, reference inference.py forward_pass)."""
     import jax.numpy as jnp
 
     from stlpose_tpu.models import create_hrnet
@@ -44,7 +47,14 @@ def _build_serving_fn(config_name: str, dtype):
 
     def serve(variables, crops_u8, centers, scales):
         x = (crops_u8.astype(jnp.float32) - mean) / std
-        hm = model.apply(variables, x, train=False)
+        if flip_tta:
+            from stlpose_tpu.ops.flip import average_flip_tta_nhwc
+            n = x.shape[0]
+            both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+            out = model.apply(variables, both, train=False)
+            hm = average_flip_tta_nhwc(out[:n], out[n:])
+        else:
+            hm = model.apply(variables, x, train=False)
         preds, maxvals, hm32 = decode_heatmaps_nhwc(hm, centers, scales)
         return {"keypoints": preds, "scores": maxvals,
                 "heatmaps": hm32}
@@ -56,7 +66,8 @@ def export_pose_server(variables, out_dir: str,
                        config_name: str = "w32_256x192",
                        input_hw: tuple = (256, 192),
                        platforms: Sequence[str] = ("tpu", "cpu"),
-                       fold: bool = True) -> str:
+                       fold: bool = True,
+                       flip_tta: bool = False) -> str:
     """Export the serving function to ``out_dir``; returns the dir.
 
     Args:
@@ -64,6 +75,9 @@ def export_pose_server(variables, out_dir: str,
         BN folding (an exact transform, test_fold_bn.py) is applied here
         when ``fold`` (the export then contains no BN ops at all).
       platforms: jax.export lowering platforms baked into the artifact.
+      flip_tta: bake the eval-grade flip-TTA program (doubled-batch
+        forward + flip-back averaging before decode) — the 03_evaluate
+        accuracy configuration as a serving artifact.
     """
     import jax
     from jax import export as jexport
@@ -73,7 +87,8 @@ def export_pose_server(variables, out_dir: str,
 
     if fold:
         variables = fold_batchnorms(variables)
-    serve, _ = _build_serving_fn(config_name, jnp.bfloat16)
+    serve, _ = _build_serving_fn(config_name, jnp.bfloat16,
+                                 flip_tta=flip_tta)
 
     H, W = input_hw
     b = jexport.symbolic_shape("b")[0]
@@ -100,6 +115,7 @@ def export_pose_server(variables, out_dir: str,
                    "heatmaps (b,Hh,Hw,J)"],
         "platforms": list(platforms),
         "bn_folded": bool(fold),
+        "flip_tta": bool(flip_tta),
         "compute_dtype": "bfloat16",
         "jax_version": jax.__version__,
         "calling_convention_version":

@@ -264,3 +264,39 @@ def test_two_stage_export_tpu_exclusive_bakes_pallas(tmp_path):
     assert "tpu_custom_call" in txt
     _, manifest = load_pose_server(str(tmp_path / "ts_tpu"))
     assert manifest["pallas"] and manifest["platforms"] == ["tpu"]
+
+
+def test_pose_export_flip_tta_flavor(tmp_path):
+    """flip_tta=True bakes the eval-grade doubled-batch TTA program; the
+    artifact matches the live flip-TTA forward exactly and differs from
+    the plain artifact."""
+    from stlpose_tpu.ops.flip import average_flip_tta_nhwc
+
+    variables = _make_variables()
+    out = export_pose_server(variables, str(tmp_path / "tta"),
+                             config_name=CONFIG, input_hw=HW,
+                             platforms=("cpu",), flip_tta=True)
+    serve, manifest = load_pose_server(out)
+    assert manifest["flip_tta"]
+
+    folded = fold_batchnorms(variables)
+    model = create_hrnet(CONFIG, dtype=jnp.bfloat16, folded=True)
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+
+    rng = np.random.RandomState(4)
+    crops = jnp.asarray(rng.randint(0, 256, (3,) + HW + (3,),
+                                    dtype=np.uint8))
+    centers = jnp.asarray(rng.uniform(50, 200, (3, 2)), jnp.float32)
+    scales = jnp.ones((3, 2), jnp.float32)
+    got = serve(folded, crops, centers, scales)
+
+    x = (crops.astype(jnp.float32) - mean) / std
+    both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+    hm_all = model.apply(folded, both, train=False)
+    hm = average_flip_tta_nhwc(hm_all[:3], hm_all[3:])
+    preds, maxvals, _ = decode_heatmaps_nhwc(hm, centers, scales)
+    np.testing.assert_allclose(np.asarray(got["keypoints"]),
+                               np.asarray(preds), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["scores"]),
+                               np.asarray(maxvals), atol=1e-5)
