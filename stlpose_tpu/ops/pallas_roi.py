@@ -31,6 +31,7 @@ RoIAlign inside lib/model_setup.py:70-73.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,8 @@ from stlpose_tpu.ops.roi_align import SHORT_EXTENT, _assign_levels, \
     _banded_interp_weights
 
 CHUNK = 512          # boxes per pallas_call: bounds SMEM prefetch size
+# resolved at import, never under trace (ADVICE r2 env-gate class)
+_F32_TIGHT = os.environ.get("STLPOSE_PALLAS_ROI_F32_TIGHT") == "1"
 # Pallas-path patch budget: the short axis needs <= ~30 rows, but Mosaic
 # requires the DMA row offset to be sublane-tile aligned. The sublane
 # tile is DTYPE-dependent — 8 rows for f32, 16 for bf16 — so the origin
@@ -50,8 +53,19 @@ CHUNK = 512          # boxes per pallas_call: bounds SMEM prefetch size
 
 
 def _dma_geometry(dtype):
-    """(ALIGN, SHORT_PAL) for the dtype's sublane tile."""
-    if jnp.dtype(dtype).itemsize >= 4:
+    """(ALIGN, SHORT_PAL) for the dtype's sublane tile.
+
+    The f32 sublane tile is 8 rows (bf16: 16), so f32 can legally use an
+    8-aligned 40-row window — ~17% less DMA per box. The tight variant
+    passes the interpret-mode equivalence suite but interpret does not
+    model Mosaic's alignment constraints (misses are SILENT zeros), and
+    the round-4 TPU tunnel outage prevented hardware validation — so it
+    is opt-in via STLPOSE_PALLAS_ROI_F32_TIGHT=1 until a hardware run
+    confirms bit-exactness (the check is step 1 of the queued
+    measurement script; see PROFILE_detector.md). Default: the
+    hardware-validated 16/48 geometry for every dtype. The env gate is
+    resolved at import, never under trace."""
+    if jnp.dtype(dtype).itemsize >= 4 and _F32_TIGHT:
         return 8, 40
     return 16, 48
 
