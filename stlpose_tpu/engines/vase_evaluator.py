@@ -10,6 +10,13 @@ TPU-native pipeline: the detector batch, the crop warps
 (ops.warp.crop_from_center_scale), the HRNet flip-TTA forward, and the
 decode all run on device; only rendering is host matplotlib. This is the
 BASELINE "two-stage" configuration.
+
+Default execution is the FUSED path (``build_fused_two_stage``): the
+entire pass — including bbox filtering and cross-batch crop compaction —
+is one jit program (shard_map form on multi-device meshes), the same
+program bench.py's twostage modes time and ``serving.export.
+export_two_stage_server`` serializes; the host-filtering path remains as
+the ragged-batch fallback and equality oracle.
 """
 
 from __future__ import annotations
