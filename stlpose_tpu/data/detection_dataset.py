@@ -166,7 +166,8 @@ class DetectionDataPipeline:
     def __init__(self, records, batch_size: int, img_size: int = 400,
                  max_boxes: int = 32, shuffle: bool = False,
                  num_workers: int = 8, pad_multiple: int = 1,
-                 drop_last: bool = False, seed: int = 13):
+                 drop_last: bool = False, seed: int = 13,
+                 stylizer=None, style_bank=None, style_alpha=1.0):
         self.records = list(records)
         self.batch_size = batch_size
         self.img_size = img_size
@@ -176,6 +177,13 @@ class DetectionDataPipeline:
         self.pad_multiple = pad_multiple
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
+        # inline AdaIN stylization of the detection canvases (the
+        # detector-side mirror of the pose pipeline's hook — photometric
+        # only, boxes untouched; dataset.inline_style experiment param)
+        self.stylizer = stylizer
+        self.style_bank = (np.asarray(style_bank, np.float32)
+                           if style_bank is not None else None)
+        self.style_alpha = style_alpha
 
     def __len__(self):
         n = len(self.records)
@@ -221,7 +229,14 @@ class DetectionDataPipeline:
         if pad:
             samples = samples + [samples[i % n_valid] for i in range(pad)]
         stack = lambda k: np.stack([s[k] for s in samples])
-        return {"image": stack(0), "boxes": stack(1), "labels": stack(2),
+        images = stack(0)
+        if self.stylizer is not None and self.style_bank is not None:
+            import jax.numpy as jnp
+            sidx = self.rng.randint(0, len(self.style_bank), len(images))
+            images = self.stylizer(jnp.asarray(images),
+                                   jnp.asarray(self.style_bank[sidx]),
+                                   alpha=self.style_alpha)
+        return {"image": images, "boxes": stack(1), "labels": stack(2),
                 "box_mask": stack(3), "scale": stack(4),
                 "image_id": stack(5), "perceptual_loss": stack(6),
                 "n_valid": n_valid}

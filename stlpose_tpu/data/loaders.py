@@ -180,9 +180,17 @@ def get_detection_dataset(exp_data: dict, split: str = "train",
     else:
         raise ValueError(f"Detection dataset '{name}' not supported; "
                          f"use one of {DETECTION_DATASETS}")
+    stylizer = style_bank = None
+    style_alpha = 1.0
+    ics = exp_data["dataset"].get("inline_style")
+    if ics and (train or ics.get("apply_to_valid")):
+        from stlpose_tpu.models.adain import build_inline_stylizer
+        stylizer, style_bank, style_alpha = build_inline_stylizer(
+            ics, crop_hw=(img_size, img_size))
     pipe = dd.DetectionDataPipeline(
         recs, bs, img_size=img_size, shuffle=shuffle, num_workers=nw,
-        pad_multiple=pad_multiple, drop_last=train)
+        pad_multiple=pad_multiple, drop_last=train,
+        stylizer=stylizer, style_bank=style_bank, style_alpha=style_alpha)
     return pipe
 
 

@@ -121,3 +121,41 @@ def test_inline_style_rejects_device_warp(tmp_path, rng):
                          num_workers=2, device_warp=True,
                          stylizer=AdaINStylizer(),
                          style_bank=rng.rand(2, 256, 192, 3))
+
+
+def test_detection_pipeline_inline_style(tmp_path, rng):
+    """The detector-side mirror of the inline-style hook: canvases are
+    stylized on device, boxes/labels/masks untouched (photometric only),
+    reachable through dataset.inline_style like the pose pipeline."""
+    from stlpose_tpu.data.loaders import get_detection_dataset
+    from tests.fixtures import make_coco_dataset as _mk
+
+    _mk(str(tmp_path), n_train=3, n_val=2, img_hw=(200, 260))
+    sdir = _make_style_dir(tmp_path, rng)
+    exp = default_experiment_args()
+    exp["training"]["batch_size"] = 2
+    exp["dataset"]["image_size"] = 128
+
+    plain = get_detection_dataset(exp, "train", num_workers=2,
+                                  data_path=str(tmp_path))
+    exp["dataset"]["inline_style"] = {"style_dir": sdir, "alpha": 0.8}
+    styled = get_detection_dataset(exp, "train", num_workers=2,
+                                   data_path=str(tmp_path))
+    assert styled.stylizer is not None
+    assert styled.style_bank.shape[1:3] == (128, 128)
+    b0 = next(iter(plain))
+    b1 = next(iter(styled))
+    assert np.asarray(b1["image"]).shape == np.asarray(b0["image"]).shape
+    assert np.abs(np.asarray(b1["image"]) -
+                  np.asarray(b0["image"])).mean() > 1e-3
+    np.testing.assert_allclose(b1["boxes"], b0["boxes"], atol=1e-6)
+    np.testing.assert_array_equal(b1["labels"], b0["labels"])
+    np.testing.assert_allclose(b1["box_mask"], b0["box_mask"], atol=1e-6)
+    # valid split stays unstylized unless apply_to_valid
+    v = get_detection_dataset(exp, "valid", num_workers=2,
+                              data_path=str(tmp_path))
+    assert v.stylizer is None
+    exp["dataset"]["inline_style"]["apply_to_valid"] = True
+    v2 = get_detection_dataset(exp, "valid", num_workers=2,
+                               data_path=str(tmp_path))
+    assert v2.stylizer is not None
