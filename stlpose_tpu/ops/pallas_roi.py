@@ -43,7 +43,7 @@ from stlpose_tpu.ops.roi_align import SHORT_EXTENT, _assign_levels, \
 
 CHUNK = 512          # boxes per pallas_call: bounds SMEM prefetch size
 # resolved at import, never under trace (ADVICE r2 env-gate class)
-_F32_TIGHT = os.environ.get("STLPOSE_PALLAS_ROI_F32_TIGHT") == "1"
+_F32_TIGHT = os.environ.get("STLPOSE_PALLAS_ROI_F32_TIGHT", "1") != "0"
 # Pallas-path patch budget: the short axis needs <= ~30 rows, but Mosaic
 # requires the DMA row offset to be sublane-tile aligned. The sublane
 # tile is DTYPE-dependent — 8 rows for f32, 16 for bf16 — so the origin
@@ -55,16 +55,16 @@ _F32_TIGHT = os.environ.get("STLPOSE_PALLAS_ROI_F32_TIGHT") == "1"
 def _dma_geometry(dtype):
     """(ALIGN, SHORT_PAL) for the dtype's sublane tile.
 
-    The f32 sublane tile is 8 rows (bf16: 16), so f32 can legally use an
-    8-aligned 40-row window — ~17% less DMA per box. The tight variant
-    passes the interpret-mode equivalence suite but interpret does not
-    model Mosaic's alignment constraints (misses are SILENT zeros), and
-    the round-4 TPU tunnel outage prevented hardware validation — so it
-    is opt-in via STLPOSE_PALLAS_ROI_F32_TIGHT=1 until a hardware run
-    confirms bit-exactness (the check is step 1 of the queued
-    measurement script; see PROFILE_detector.md). Default: the
-    hardware-validated 16/48 geometry for every dtype. The env gate is
-    resolved at import, never under trace."""
+    The f32 sublane tile is 8 rows (bf16: 16), so f32 legally uses an
+    8-aligned 40-row window — ~17% less DMA per box. HARDWARE-VALIDATED
+    (scripts/validate_pallas_roi_hw.py on the v5e chip): bit-exact vs
+    the XLA path on every adversarial box regime incl. the far-edge
+    level-2 windows (the silent-zero bug class interpret mode cannot
+    catch), identical full-model predict checksum, and 248.7 -> 273.6
+    f32 imgs/s at B=16 (+10%, PROFILE_detector.md round-4 section).
+    Default ON for f32; STLPOSE_PALLAS_ROI_F32_TIGHT=0 restores the
+    shared 16/48 geometry. The env gate is resolved at import, never
+    under trace."""
     if jnp.dtype(dtype).itemsize >= 4 and _F32_TIGHT:
         return 8, 40
     return 16, 48
