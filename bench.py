@@ -765,8 +765,8 @@ def main():
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "tta", "detector",
                              "efficientdet", "twostage", "twostage_compact",
-                             "serving", "detector_serving", "latency",
-                             "sweep"])
+                             "twostage_engine", "serving",
+                             "detector_serving", "latency", "sweep"])
     ap.add_argument("--batch", type=int, default=128,
                     help="batch size (128 is the measured single-chip "
                          "knee: 6.28k crops/s vs 5.9k at 256 and 4.9k at "
