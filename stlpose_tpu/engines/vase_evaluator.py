@@ -48,6 +48,46 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def _fused_pack_spec(B: int, m: int, budget: int):
+    """Static (key, shape, dtype) layout of the fused program's outputs
+    when flattened into ONE f32 buffer. Serving hosts fetch the whole
+    result in a single D2H transfer instead of one per output array —
+    under an RPC-attached device (this container's tunnel, or any
+    networked serving topology) each fetch pays a full round trip, so 7
+    fetches -> 1 is the difference between ~294 ms and ~double-digit ms
+    per engine call at B=8 (BENCH_extra.json::two_stage_engine_*)."""
+    return (("sel_boxes", (B, m, 4), np.float32),
+            ("sel_scores", (B, m), np.float32),
+            ("sel_valid", (B, m), np.bool_),
+            ("img_idx", (budget,), np.int32),
+            ("picked_valid", (budget,), np.bool_),
+            ("crop_kpts", (budget, 17, 3), np.float32),
+            ("img_kpts", (budget, 17, 3), np.float32))
+
+
+def _pack_fused_outputs(out, spec):
+    """In-jit: flatten + cast every fused output to f32 and concatenate.
+    bool -> {0,1}; int32 image indices are exact in f32 (< 2**24)."""
+    return jnp.concatenate(
+        [out[k].astype(jnp.float32).reshape(-1) for k, _, _ in spec])
+
+
+def _unpack_fused_outputs(buf: np.ndarray, spec):
+    """Host: split the single fetched f32 buffer back into the output
+    dict (inverse of :func:`_pack_fused_outputs`)."""
+    out, off = {}, 0
+    for k, shape, dt in spec:
+        n = int(np.prod(shape))
+        v = buf[off:off + n].reshape(shape)
+        off += n
+        if dt == np.bool_:
+            v = v > 0.5
+        elif dt == np.int32:
+            v = np.rint(v).astype(np.int32)
+        out[k] = v
+    return out
+
+
 def build_fused_two_stage(detector, pose_model, *, bbox_thr: float,
                           max_dets: int, budget: int, pallas_crop: bool):
     """The whole two-stage pass as ONE pure function
@@ -65,6 +105,11 @@ def build_fused_two_stage(detector, pose_model, *, bbox_thr: float,
     std = jnp.asarray(IMAGENET_STD)
 
     def fused(det_vars, pose_vars, images01):
+        # native uint8 ingest: serving clients ship 0-255 pixel bytes
+        # (4x fewer H2D bytes than f32); the [0,1] conversion happens on
+        # device. dtype is static at trace time.
+        if images01.dtype == jnp.uint8:
+            images01 = images01.astype(jnp.float32) / 255.0
         dets = detector.predict(det_vars, images01)
         boxes, scores = dets["boxes"], dets["scores"]
         keep = (dets["valid"] & (dets["labels"] == 1) &
@@ -260,29 +305,53 @@ class VaseEvaluator:
                 budget_per_device=-(-budget // n_dev),
                 pallas_crop=self._pallas_crop)
         else:
-            f = jax.jit(build_fused_two_stage(
+            # single-device: jit the PACKED form — all outputs flattened
+            # into one f32 buffer so the host pays ONE D2H fetch per call
+            # (see _fused_pack_spec). The sharded form keeps the dict
+            # (its leaves carry per-axis shardings a 1-D concat would
+            # destroy).
+            inner = build_fused_two_stage(
                 self.detector, self.pose_model, bbox_thr=self.bbox_thr,
                 max_dets=self.max_dets, budget=budget,
-                pallas_crop=self._pallas_crop))
+                pallas_crop=self._pallas_crop)
+            m = min(self.max_dets, self.det_cfg.detections_per_img)
+            spec = _fused_pack_spec(B, m, budget)
+
+            def packed(det_vars, pose_vars, images):
+                return _pack_fused_outputs(
+                    inner(det_vars, pose_vars, images), spec)
+
+            f = (jax.jit(packed), spec)
         self._fused_cache[key] = f
         return f
 
     def _process_images_fused(self, images01):
-        # device-resident inputs pass through without a host round trip
+        # device-resident inputs pass through without a host round trip;
+        # uint8 inputs (0-255) upload as bytes and convert on device
         if isinstance(images01, jnp.ndarray):
-            imgs_dev = images01.astype(jnp.float32)
+            imgs_dev = images01 if images01.dtype == jnp.uint8 \
+                else images01.astype(jnp.float32)
         else:
-            imgs_dev = jnp.asarray(np.asarray(images01, np.float32))
+            arr = np.asarray(images01)
+            imgs_dev = jnp.asarray(
+                arr if arr.dtype == np.uint8 else arr.astype(np.float32))
         B = imgs_dev.shape[0]
         m = min(self.max_dets, self.det_cfg.detections_per_img)
         budget = self.crop_budget or B * m
         budget = min(budget, B * m)
-        out = self._get_fused(B, budget)(
-            self.det_state.variables(), self.pose_state.variables(),
-            imgs_dev)
-        out = {k: np.array(jnp.asarray(v).astype(jnp.float32))
-               if np.asarray(v).dtype not in (np.bool_, np.int32)
-               else np.asarray(v) for k, v in out.items()}
+        fused = self._get_fused(B, budget)
+        if isinstance(fused, tuple):                 # packed single-device
+            f, spec = fused
+            buf = np.array(f(self.det_state.variables(),
+                             self.pose_state.variables(), imgs_dev),
+                           np.float32)               # ONE D2H fetch
+            out = _unpack_fused_outputs(buf, spec)
+        else:
+            out = fused(self.det_state.variables(),
+                        self.pose_state.variables(), imgs_dev)
+            out = {k: np.array(jnp.asarray(v).astype(jnp.float32))
+                   if np.asarray(v).dtype not in (np.bool_, np.int32)
+                   else np.asarray(v) for k, v in out.items()}
         crop_kpts, img_kpts = out["crop_kpts"], out["img_kpts"]
         for arr in (crop_kpts, img_kpts):
             arr[arr[..., 2] < self.kpt_thr] = 0
@@ -298,8 +367,9 @@ class VaseEvaluator:
         return results
 
     def process_images(self, images01, use_fused: bool | None = None):
-        """Full two-stage pass on a BATCH of (B, S, S, 3) [0,1] images
-        with CROSS-BATCH crop compaction: the valid detections of ALL
+        """Full two-stage pass on a BATCH of (B, S, S, 3) images — [0,1]
+        float, or uint8 0-255 (uploaded as bytes, 4x cheaper H2D, and
+        converted on device) — with CROSS-BATCH crop compaction: the valid detections of ALL
         images are gathered into one dense crop batch (static bucketed
         budget, mesh-divisible) before a single pose forward — per-image
         detection-count padding becomes throughput on realistic scenes
@@ -320,7 +390,9 @@ class VaseEvaluator:
         if use_fused:
             return self._process_images_fused(images01)
         n_dev = max(self.mesh.devices.size, 1)
-        imgs = np.asarray(images01, np.float32)
+        imgs = np.asarray(images01)
+        imgs = (imgs.astype(np.float32) / 255.0
+                if imgs.dtype == np.uint8 else imgs.astype(np.float32))
         B = imgs.shape[0]
         pad_b = -B % n_dev
         det_in = jnp.asarray(np.concatenate(

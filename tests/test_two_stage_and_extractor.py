@@ -128,6 +128,71 @@ class TestVaseEvaluator:
                                        host[i]["image_keypoints"],
                                        atol=1e-3)
 
+    def test_fused_packed_single_device_matches_host(
+            self, workspace, trained_tiny_frcnn, detector_scene_batch):
+        """On a SINGLE-device mesh the fused engine runs the PACKED form
+        (all outputs flattened into one f32 buffer, one D2H fetch —
+        vase_evaluator._fused_pack_spec); its unpacked results must equal
+        the host-filtering path with real trained-detector validity."""
+        from stlpose_tpu.parallel import get_mesh
+
+        _, exp_path = workspace
+        det, trained = trained_tiny_frcnn
+        ev = VaseEvaluator(exp_path, dataset_name="ccoimages_final",
+                           bbox_thr=0.5, max_dets=4,
+                           detector_config="faster_rcnn_tiny", save=False)
+        ev.detector, ev.det_cfg = det, det.config
+        ev.setup_models(config_name="tiny", pretrained=None)
+        ev.mesh = get_mesh(1)
+        ev.det_state = ev.det_state.replace(
+            params=trained["params"], batch_stats=trained["batch_stats"])
+
+        images = np.asarray(detector_scene_batch["image"])
+        fused = ev.process_images(images, use_fused=True)
+        # the packed program really was used
+        assert all(isinstance(v, tuple) for v in ev._fused_cache.values())
+        host = ev.process_images(images, use_fused=False)
+        for i in range(len(images)):
+            assert len(fused[i]["boxes"]) == len(host[i]["boxes"])
+            np.testing.assert_allclose(fused[i]["boxes"], host[i]["boxes"],
+                                       atol=1e-4)
+            np.testing.assert_allclose(fused[i]["scores"],
+                                       host[i]["scores"], atol=1e-5)
+            np.testing.assert_allclose(fused[i]["image_keypoints"],
+                                       host[i]["image_keypoints"],
+                                       atol=1e-3)
+
+    def test_fused_engine_uint8_input_matches_f32(
+            self, workspace, trained_tiny_frcnn, detector_scene_batch):
+        """uint8 0-255 input (the cheap-H2D serving ingest) must produce
+        the same results as the equivalent [0,1] f32 input — the /255
+        conversion just moves on device. Single-device mesh, so this
+        also covers the packed program's uint8 trace."""
+        from stlpose_tpu.parallel import get_mesh
+
+        _, exp_path = workspace
+        det, trained = trained_tiny_frcnn
+        ev = VaseEvaluator(exp_path, dataset_name="ccoimages_final",
+                           bbox_thr=0.5, max_dets=4,
+                           detector_config="faster_rcnn_tiny", save=False)
+        ev.detector, ev.det_cfg = det, det.config
+        ev.setup_models(config_name="tiny", pretrained=None)
+        ev.mesh = get_mesh(1)
+        ev.det_state = ev.det_state.replace(
+            params=trained["params"], batch_stats=trained["batch_stats"])
+
+        f32 = np.asarray(detector_scene_batch["image"], np.float32)
+        u8 = np.clip(np.rint(f32 * 255.0), 0, 255).astype(np.uint8)
+        f32_eq = u8.astype(np.float32) / 255.0       # exactly what u8 means
+        res_u8 = ev.process_images(u8, use_fused=True)
+        res_f32 = ev.process_images(f32_eq, use_fused=True)
+        for a, b in zip(res_u8, res_f32):
+            assert len(a["boxes"]) == len(b["boxes"])
+            np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-3)
+            np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
+            np.testing.assert_allclose(a["image_keypoints"],
+                                       b["image_keypoints"], atol=1e-2)
+
     def test_fused_engine_budget_drops_lowest_scores(
             self, workspace, trained_tiny_frcnn, detector_scene_batch):
         """With crop_budget < total detections, compaction keeps the
