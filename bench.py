@@ -597,6 +597,8 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
     suffix = "" if dtype == "float32" else "_bf16"
     if family != "faster_rcnn":
         suffix = f"_{family}{suffix}"
+    if batch != 8:        # don't clobber the B=8 reference entry
+        suffix = f"{suffix}_b{batch}"
     return {"metric": f"two_stage_engine_throughput{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "images/sec/chip",
@@ -831,7 +833,7 @@ def main():
                                  args.warmup, dtype=args.dtype,
                                  dets_per_img=args.dets_per_img)
     elif args.mode == "twostage_engine":
-        result = bench_two_stage_engine(min(args.batch, 8), args.iters,
+        result = bench_two_stage_engine(min(args.batch, 32), args.iters,
                                         args.warmup, dtype=args.dtype,
                                         dets_per_img=args.dets_per_img,
                                         family=args.detector_family)

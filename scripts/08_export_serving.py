@@ -53,6 +53,14 @@ def main():
     ap.add_argument("--max_dets", type=int, default=16)
     ap.add_argument("--bbox_thr", type=float, default=0.5)
     ap.add_argument("--crop_budget", type=int, default=None)
+    ap.add_argument("--image_dtype", default="float32",
+                    choices=["float32", "uint8"],
+                    help="two_stage image ingest: uint8 ships 0-255 "
+                         "bytes (4x cheaper wire) and converts on device")
+    ap.add_argument("--packed", action="store_true",
+                    help="two_stage: pack all outputs into ONE flat f32 "
+                         "buffer (single D2H fetch per call; layout in "
+                         "the manifest)")
     args = ap.parse_args()
 
     exp_path = args.exp_directory
@@ -100,7 +108,8 @@ def main():
             det_config=det_cfg, pose_config_name=config_name,
             bbox_thr=args.bbox_thr, max_dets=args.max_dets,
             crop_budget=args.crop_budget, static_batch=args.batch,
-            platforms=platforms)
+            platforms=platforms, image_dtype=args.image_dtype,
+            packed_output=args.packed)
     else:
         export_pose_server(variables, out_dir, config_name=config_name,
                            input_hw=(hw[1], hw[0]), platforms=platforms)

@@ -208,6 +208,83 @@ def test_two_stage_export_round_trip(tmp_path):
                                 platforms=("cpu",), pallas=True)
 
 
+def test_two_stage_export_uint8_packed_round_trip(tmp_path):
+    """The serving wire-format flavor: uint8 0-255 image ingest (4x
+    fewer upload bytes, /255 on device) + packed single-buffer output
+    (one D2H fetch per call). The reloaded artifact, driven with uint8
+    images and unpacked via the manifest layout, must match the live
+    f32 dict program on the equivalent [0,1] images."""
+    from stlpose_tpu.config import get_hrnet_config
+    from stlpose_tpu.engines.vase_evaluator import (
+        build_fused_two_stage, _unpack_fused_outputs)
+    from stlpose_tpu.models import PoseHighResolutionNet, fold_batchnorms
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
+    from stlpose_tpu.serving.export import (export_two_stage_server,
+                                            load_pose_server)
+
+    det = FasterRCNN(FASTER_RCNN_TINY)
+    dv = det.init(jax.random.PRNGKey(0))
+    pose = PoseHighResolutionNet(config=get_hrnet_config("tiny"))
+    pv = pose.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 256, 192, 3)), train=False)
+
+    out = export_two_stage_server(
+        dv, pv, str(tmp_path / "ts_u8"), family="faster_rcnn",
+        det_config=FASTER_RCNN_TINY, pose_config_name="tiny",
+        bbox_thr=0.0, max_dets=4, static_batch=2, platforms=("cpu",),
+        image_dtype="uint8", packed_output=True)
+    serve, manifest = load_pose_server(out)
+    assert manifest["packed_output"] is True
+    assert manifest["input"]["images"][4].startswith("uint8")
+    spec = [(e["key"], tuple(e["shape"]), np.dtype(e["dtype"]))
+            for e in manifest["output"]]
+
+    rng = np.random.RandomState(2)
+    S = det.config.image_size
+    u8 = rng.randint(0, 256, (2, S, S, 3)).astype(np.uint8)
+    buf = np.array(serve(dv, fold_batchnorms(pv), jnp.asarray(u8)),
+                   np.float32)
+    got = _unpack_fused_outputs(buf, spec)
+
+    pose_folded = PoseHighResolutionNet(config=get_hrnet_config("tiny"),
+                                        folded=True)
+    live = jax.jit(build_fused_two_stage(
+        det, pose_folded, bbox_thr=0.0, max_dets=4, budget=8,
+        pallas_crop=False))
+    ref = live(dv, fold_batchnorms(pv),
+               jnp.asarray(u8.astype(np.float32) / 255.0))
+    for k in got:
+        np.testing.assert_allclose(np.asarray(got[k], np.float32),
+                                   np.asarray(ref[k], np.float32),
+                                   atol=1e-3, err_msg=k)
+
+
+def test_detector_export_uint8_ingest(tmp_path):
+    """Detector artifact with the uint8 wire format matches f32 predict
+    on the equivalent [0,1] images."""
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
+    from stlpose_tpu.serving.export import (export_detector_server,
+                                            load_pose_server)
+
+    det = FasterRCNN(FASTER_RCNN_TINY)
+    v = det.init(jax.random.PRNGKey(0))
+    out = export_detector_server(v, str(tmp_path / "det_u8"),
+                                 family="faster_rcnn",
+                                 config=FASTER_RCNN_TINY,
+                                 platforms=("cpu",), image_dtype="uint8")
+    serve, manifest = load_pose_server(out)
+    assert manifest["input"]["images"][4].startswith("uint8")
+    rng = np.random.RandomState(1)
+    S = det.config.image_size
+    u8 = rng.randint(0, 256, (2, S, S, 3)).astype(np.uint8)
+    got = serve(v, jnp.asarray(u8))
+    ref = jax.jit(det.predict)(v, jnp.asarray(u8.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(np.asarray(got["boxes"]),
+                               np.asarray(ref["boxes"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["scores"]),
+                               np.asarray(ref["scores"]), atol=1e-5)
+
+
 def test_two_stage_export_efficientdet(tmp_path):
     """Family swap: the two-stage artifact with an EfficientDet stage."""
     from stlpose_tpu.config import get_hrnet_config
