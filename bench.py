@@ -702,6 +702,9 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
         iters, warmup)
     suffix = "" if dtype == "float32" else "_bf16"
     fam = "" if family == "faster_rcnn" else f"_{family}"
+    # don't clobber the documented reference entries (B=8 frcnn / 16 eff)
+    if batch != (16 if family == "efficientdet" else 8):
+        suffix = f"{suffix}_b{batch}"
     return {"metric": f"two_stage_compact_throughput{fam}{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "images/sec/chip",
@@ -838,8 +841,7 @@ def main():
                                         dets_per_img=args.dets_per_img,
                                         family=args.detector_family)
     elif args.mode == "twostage_compact":
-        cap = 16 if args.detector_family == "efficientdet" else 8
-        result = bench_two_stage_compact(min(args.batch, cap), args.iters,
+        result = bench_two_stage_compact(min(args.batch, 64), args.iters,
                                          args.warmup, dtype=args.dtype,
                                          dets_per_img=args.dets_per_img,
                                          family=args.detector_family)

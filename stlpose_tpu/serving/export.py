@@ -400,3 +400,29 @@ def load_pose_server(out_dir: str) -> tuple[Callable, dict]:
     with open(os.path.join(out_dir, "manifest.json")) as f:
         manifest = json.load(f)
     return jax.jit(exported.call), manifest
+
+
+def load_two_stage_server(out_dir: str) -> tuple[Callable, dict]:
+    """Deserialize a two-stage artifact into a host-friendly callable
+    ``serve(det_vars, pose_vars, images) -> dict`` of numpy outputs.
+
+    Handles the wire-format flavors transparently: a ``packed_output``
+    artifact is fetched as ONE flat f32 buffer (single D2H transfer —
+    the cheap-serving point of that flavor) and unpacked on host using
+    the layout recorded in the manifest; a dict artifact is returned
+    as-is. ``image_dtype`` expectations (uint8 vs float32) are in
+    ``manifest["input"]``; passing the wrong dtype fails at call time
+    with a shape/dtype error from the deserialized program.
+    """
+    serve, manifest = load_pose_server(out_dir)
+    if not manifest.get("packed_output"):
+        return serve, manifest
+    from stlpose_tpu.engines.vase_evaluator import _unpack_fused_outputs
+    spec = [(e["key"], tuple(e["shape"]), np.dtype(e["dtype"]))
+            for e in manifest["output"]]
+
+    def serve_unpacked(det_vars, pose_vars, images):
+        buf = np.array(serve(det_vars, pose_vars, images), np.float32)
+        return _unpack_fused_outputs(buf, spec)
+
+    return serve_unpacked, manifest

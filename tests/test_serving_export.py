@@ -215,12 +215,11 @@ def test_two_stage_export_uint8_packed_round_trip(tmp_path):
     images and unpacked via the manifest layout, must match the live
     f32 dict program on the equivalent [0,1] images."""
     from stlpose_tpu.config import get_hrnet_config
-    from stlpose_tpu.engines.vase_evaluator import (
-        build_fused_two_stage, _unpack_fused_outputs)
+    from stlpose_tpu.engines.vase_evaluator import build_fused_two_stage
     from stlpose_tpu.models import PoseHighResolutionNet, fold_batchnorms
     from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
     from stlpose_tpu.serving.export import (export_two_stage_server,
-                                            load_pose_server)
+                                            load_two_stage_server)
 
     det = FasterRCNN(FASTER_RCNN_TINY)
     dv = det.init(jax.random.PRNGKey(0))
@@ -233,18 +232,14 @@ def test_two_stage_export_uint8_packed_round_trip(tmp_path):
         det_config=FASTER_RCNN_TINY, pose_config_name="tiny",
         bbox_thr=0.0, max_dets=4, static_batch=2, platforms=("cpu",),
         image_dtype="uint8", packed_output=True)
-    serve, manifest = load_pose_server(out)
+    serve, manifest = load_two_stage_server(out)
     assert manifest["packed_output"] is True
     assert manifest["input"]["images"][4].startswith("uint8")
-    spec = [(e["key"], tuple(e["shape"]), np.dtype(e["dtype"]))
-            for e in manifest["output"]]
 
     rng = np.random.RandomState(2)
     S = det.config.image_size
     u8 = rng.randint(0, 256, (2, S, S, 3)).astype(np.uint8)
-    buf = np.array(serve(dv, fold_batchnorms(pv), jnp.asarray(u8)),
-                   np.float32)
-    got = _unpack_fused_outputs(buf, spec)
+    got = serve(dv, fold_batchnorms(pv), jnp.asarray(u8))
 
     pose_folded = PoseHighResolutionNet(config=get_hrnet_config("tiny"),
                                         folded=True)
