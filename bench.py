@@ -98,7 +98,7 @@ def _folded_pose_setup(jax):
     return model, variables, folded, mean, std
 
 
-def bench_infer(batch, iters, warmup, fold=True):
+def bench_infer(batch, iters, warmup, fold=True, quant=False):
     jax = _setup()
     import jax.numpy as jnp
     from stlpose_tpu.models import create_hrnet, fold_batchnorms
@@ -110,7 +110,33 @@ def bench_infer(batch, iters, warmup, fold=True):
     base = create_hrnet("w32_256x192", dtype=jnp.bfloat16)
     jmean = jnp.asarray(mean)
     jstd = jnp.asarray(std)
-    if fold:
+    if quant:
+        # int8 PTQ serving flavor (models/quantize.py): fold, calibrate on
+        # a normalized sample of the bench stream (scale VALUES don't
+        # affect timing — the program is identical for any scales), then
+        # run the w8a8 graph with bf16 glue. Accuracy bound:
+        # tests/test_int8_accuracy.py. Measured +4.7% over the bf16
+        # headline at B=128 — the thin high-res branch convs cap the win;
+        # fat-conv models gain far more (see README int8 row).
+        from stlpose_tpu.models.quantize import (calibrate_hrnet,
+                                                 quantize_hrnet)
+        model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True,
+                             quant="int8")
+        variables = _init_variables(jax, base, (1, 256, 192, 3),
+                                    to_device=False)
+        folded = fold_batchnorms(variables)
+        cpu = jax.devices("cpu")[0]
+        rngc = np.random.RandomState(7)
+        with jax.default_device(cpu):
+            calibm = create_hrnet("w32_256x192", dtype=jnp.float32,
+                                  folded=True, quant="calib")
+            xc = (rngc.randint(0, 256, (8, 256, 192, 3)).astype(np.float32)
+                  - mean) / std
+            stats = calibrate_hrnet(calibm, jax.device_put(folded, cpu),
+                                    [jax.device_put(jnp.asarray(xc), cpu)])
+        variables = jax.device_put(quantize_hrnet(folded, stats),
+                                   jax.devices()[0])
+    elif fold:
         # serving configuration: every BN folded into conv weights — an
         # EXACT transform (test_fold_bn.py); input normalization stays an
         # explicit fused multiply-add (folding it into the stem conv has a
@@ -141,11 +167,13 @@ def bench_infer(batch, iters, warmup, fold=True):
     per_iter, chk = _chained_time(
         infer, lambda c: (variables, crops, centers, scales, c),
         iters, warmup)
-    return {"metric": "hrnet_w32_256x192_inference_throughput",
+    suffix = "_int8" if quant else ""
+    return {"metric": f"hrnet_w32_256x192_inference_throughput{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "crops/sec/chip",
             "vs_baseline": round(batch / per_iter / TARGET, 3),
             "detail": {"batch": batch, "folded_bn": fold,
+                       "quant": "int8_w8a8" if quant else "none",
                        "ms_per_iter": round(per_iter * 1000, 2),
                        "iters": iters, "checksum": round(chk, 2)}}
 
@@ -811,13 +839,16 @@ def main():
                     choices=["faster_rcnn", "efficientdet"],
                     help="detector stage for --mode twostage_compact")
     ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "bfloat16"],
-                    help="train-mode compute dtype (mixed precision)")
+                    choices=["float32", "bfloat16", "int8"],
+                    help="train-mode compute dtype (mixed precision); "
+                         "int8 selects the PTQ serving flavor for "
+                         "--mode infer (models/quantize.py)")
     args = ap.parse_args()
 
     if args.mode == "infer":
         result = bench_infer(args.batch, args.iters, args.warmup,
-                             fold=not args.no_fold)
+                             fold=not args.no_fold,
+                             quant=(args.dtype == "int8"))
     elif args.mode == "tta":
         result = bench_tta(args.batch, args.iters, args.warmup)
     elif args.mode == "train":
@@ -836,12 +867,12 @@ def main():
                                  args.warmup, dtype=args.dtype,
                                  dets_per_img=args.dets_per_img)
     elif args.mode == "twostage_engine":
-        result = bench_two_stage_engine(min(args.batch, 32), args.iters,
+        result = bench_two_stage_engine(min(args.batch, 64), args.iters,
                                         args.warmup, dtype=args.dtype,
                                         dets_per_img=args.dets_per_img,
                                         family=args.detector_family)
     elif args.mode == "twostage_compact":
-        result = bench_two_stage_compact(min(args.batch, 64), args.iters,
+        result = bench_two_stage_compact(min(args.batch, 128), args.iters,
                                          args.warmup, dtype=args.dtype,
                                          dets_per_img=args.dets_per_img,
                                          family=args.detector_family)
@@ -859,7 +890,9 @@ def main():
         result["detail"]["sweep"] = {str(r["detail"]["batch"]): r["value"]
                                      for r in runs}
 
-    if args.mode != "infer":
+    # everything except the driver's headline metric is archived in
+    # BENCH_extra.json (incl. --mode infer --dtype int8)
+    if result["metric"] != "hrnet_w32_256x192_inference_throughput":
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_extra.json")
         blob = {}

@@ -6,7 +6,9 @@ deployable StableHLO artifact instead).
 
 Usage:
   python scripts/08_export_serving.py -d <experiment_dir> [--checkpoint X]
-      [--out DIR] [--platforms tpu,cpu]
+      [--out DIR] [--platforms tpu,cpu] [--flip_tta]
+      [--quant int8 --calib_images DIR_OR_NPY]
+      [--pipeline two_stage ...]
 
 Loads the experiment's model (optionally a trained checkpoint, or the
 published .pth via STLPOSE_PRETRAINED like 03_evaluate.py), folds BN, and
@@ -61,6 +63,21 @@ def main():
                     help="two_stage: pack all outputs into ONE flat f32 "
                          "buffer (single D2H fetch per call; layout in "
                          "the manifest)")
+    ap.add_argument("--flip_tta", action="store_true",
+                    help="pose: bake the eval-grade flip-TTA program "
+                         "(doubled-batch forward + flip-back averaging)")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="pose: int8 bakes the w8a8 PTQ serving graph "
+                         "(models/quantize.py; accuracy bound "
+                         "tests/test_int8_accuracy.py); needs "
+                         "--calib_images")
+    ap.add_argument("--calib_images", default=None,
+                    help="directory of images (or a .npy of uint8 "
+                         "(N,H,W,3) crops) used to calibrate int8 "
+                         "activation scales; images are resized to the "
+                         "model input size")
+    ap.add_argument("--calib_count", type=int, default=32,
+                    help="max calibration images read from --calib_images")
     args = ap.parse_args()
 
     exp_path = args.exp_directory
@@ -111,9 +128,40 @@ def main():
             platforms=platforms, image_dtype=args.image_dtype,
             packed_output=args.packed)
     else:
+        calib = None
+        if args.quant == "int8":
+            if args.calib_images is None:
+                ap.error("--quant int8 requires --calib_images")
+            calib = _load_calib_crops(args.calib_images, (hw[1], hw[0]),
+                                      args.calib_count)
         export_pose_server(variables, out_dir, config_name=config_name,
-                           input_hw=(hw[1], hw[0]), platforms=platforms)
+                           input_hw=(hw[1], hw[0]), platforms=platforms,
+                           flip_tta=args.flip_tta, quant=args.quant,
+                           calib_crops=calib)
     print(f"exported serving artifact -> {out_dir}")
+
+
+def _load_calib_crops(path, input_hw, count):
+    """uint8 (N, H, W, 3) calibration crops from a .npy dump or an image
+    directory (resized with the same cv2 interpolation the host pipeline
+    uses)."""
+    import numpy as np
+
+    H, W = input_hw
+    if path.endswith(".npy"):
+        crops = np.load(path)[:count]
+        if crops.shape[1:] != (H, W, 3):
+            raise ValueError(f"calib crops {crops.shape[1:]} != {(H, W, 3)}")
+        return crops.astype(np.uint8)
+    import cv2
+    names = sorted(f for f in os.listdir(path)
+                   if f.lower().endswith((".jpg", ".jpeg", ".png")))[:count]
+    if not names:
+        raise ValueError(f"no images in {path}")
+    crops = [cv2.resize(cv2.cvtColor(cv2.imread(os.path.join(path, f)),
+                                     cv2.COLOR_BGR2RGB), (W, H),
+                        interpolation=cv2.INTER_LINEAR) for f in names]
+    return np.stack(crops).astype(np.uint8)
 
 
 if __name__ == "__main__":

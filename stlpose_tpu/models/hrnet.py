@@ -23,6 +23,7 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from stlpose_tpu.config import HRNetConfig, HRNetStageConfig, get_hrnet_config
 
@@ -43,6 +44,23 @@ class ConvBN(nn.Module):
     With ``folded=True`` the BatchNorm is assumed pre-folded into the conv
     weights (see ``fold_batchnorms``): the conv carries a bias and no BN op
     is emitted — the inference-serving configuration.
+
+    ``quant`` (folded serving graphs only) selects the int8 post-training
+    quantization mode (models/quantize.py):
+
+      * ``"calib"`` — f32/bf16 folded compute, but additionally records the
+        input-activation absmax into the ``calib_stats`` collection
+        (max-reduced across calls) for scale selection.
+      * ``"int8"`` — w8a8: the input is quantized per-tensor (scale
+        ``sx``, zero-point ``zp`` — 0 for signed inputs, 128 for
+        post-ReLU inputs promoted to the shifted-unsigned range), the
+        kernel is pre-quantized per-output-channel (scales ``sw``), the
+        conv runs int8×int8→int32 on the MXU (2× the bf16 MACs/cycle on
+        v5e — measured ~1.3× on the thin HRNet branch convs and ~1.9× on
+        fat 256-channel convs, requantization included), and the int32
+        accumulator is dequantized with the folded-BN bias applied in
+        f32. Params for this mode come from ``quantize.quantize_hrnet``,
+        not ``init``.
     """
     features: int
     kernel: int = 3
@@ -52,10 +70,69 @@ class ConvBN(nn.Module):
     bn_momentum: float = 0.1
     bn_epsilon: float = 1e-5
     folded: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.kernel // 2
+        if self.quant == "int8":
+            assert self.folded, "int8 serving requires a folded graph"
+            kshape = (self.kernel, self.kernel, x.shape[-1], self.features)
+            w8 = self.param("kernel_i8", nn.initializers.zeros, kshape,
+                            jnp.int8)
+            sw = self.param("sw", nn.initializers.ones, (self.features,),
+                            jnp.float32)
+            sx = self.param("sx", nn.initializers.ones, (), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            # zero-point + clip range (f32 scalars so one traced program
+            # serves both modes): signed symmetric (zp=0, ±127) for signed
+            # inputs (the stem's normalized image), shifted-unsigned
+            # (zp=128, [0,255]) for post-ReLU inputs — non-negative
+            # activations waste half the signed range, so the shift buys
+            # an extra bit of resolution. The shift is made exact by
+            # padding with -zp (a padded cell then represents x=0, exactly
+            # like the f32 graph's zero padding) and folding the uniform
+            # zp*sum(w8) correction into ``bias`` at quantize time
+            # (quantize.py::quantize_hrnet).
+            zp = self.param("zp", nn.initializers.zeros, (), jnp.float32)
+            qlo = self.param("qlo", nn.initializers.constant(-127.0), (),
+                             jnp.float32)
+            qhi = self.param("qhi", nn.initializers.constant(127.0), (),
+                             jnp.float32)
+            xq = (jnp.clip(jnp.round(x.astype(jnp.float32) / sx), qlo, qhi)
+                  - zp).astype(jnp.int8)
+            xq = lax.pad(xq, (-zp).astype(jnp.int8),
+                         [(0, 0, 0), (pad, pad, 0), (pad, pad, 0),
+                          (0, 0, 0)])
+            y = lax.conv_general_dilated(
+                xq, w8, (self.stride, self.stride),
+                [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (sx * sw) + bias
+            if self.relu:
+                y = nn.relu(y)
+            return y.astype(self.dtype)
+        if self.quant == "calib":
+            assert self.folded, "calibration runs on the folded graph"
+            ax = jnp.abs(x).astype(jnp.float32)
+            self.sow("calib_stats", "in_absmax", jnp.max(ax),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=jnp.maximum)
+            # robust scale basis: a high quantile of |x| (max-reduced
+            # across batches) — optional act_clip="q999" basis; measured
+            # HARMFUL for peaked-regression nets (see quantize.py)
+            self.sow("calib_stats", "in_q999",
+                     jnp.quantile(ax, 0.999).astype(jnp.float32),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=jnp.maximum)
+            # input minimum (min-reduced): detects post-ReLU inputs, which
+            # the quantizer promotes to the shifted-unsigned int8 scheme
+            self.sow("calib_stats", "in_min",
+                     jnp.min(x.astype(jnp.float32)),
+                     init_fn=lambda: jnp.full((), jnp.inf, jnp.float32),
+                     reduce_fn=jnp.minimum)
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)], use_bias=self.folded,
@@ -77,17 +154,18 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     folded: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = ConvBN(self.features, 3, self.stride, relu=True,
-                   dtype=self.dtype, folded=self.folded, name="cb1")(x, train)
+                   dtype=self.dtype, folded=self.folded, quant=self.quant, name="cb1")(x, train)
         y = ConvBN(self.features, 3, 1, relu=False,
-                   dtype=self.dtype, folded=self.folded, name="cb2")(y, train)
+                   dtype=self.dtype, folded=self.folded, quant=self.quant, name="cb2")(y, train)
         if self.downsample:
             residual = ConvBN(self.features, 1, self.stride, relu=False,
-                              dtype=self.dtype, folded=self.folded,
+                              dtype=self.dtype, folded=self.folded, quant=self.quant,
                               name="down")(x, train)
         return nn.relu(y + residual).astype(self.dtype)
 
@@ -100,20 +178,21 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     expansion: int = 4
     folded: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = ConvBN(self.features, 1, 1, relu=True, dtype=self.dtype,
-                   folded=self.folded, name="cb1")(x, train)
+                   folded=self.folded, quant=self.quant, name="cb1")(x, train)
         y = ConvBN(self.features, 3, self.stride, relu=True, dtype=self.dtype,
-                   folded=self.folded, name="cb2")(y, train)
+                   folded=self.folded, quant=self.quant, name="cb2")(y, train)
         y = ConvBN(self.features * self.expansion, 1, 1, relu=False,
-                   dtype=self.dtype, folded=self.folded, name="cb3")(y, train)
+                   dtype=self.dtype, folded=self.folded, quant=self.quant, name="cb3")(y, train)
         if self.downsample:
             residual = ConvBN(self.features * self.expansion, 1, self.stride,
                               relu=False, dtype=self.dtype,
-                              folded=self.folded, name="down")(x, train)
+                              folded=self.folded, quant=self.quant, name="down")(x, train)
         return nn.relu(y + residual).astype(self.dtype)
 
 
@@ -124,6 +203,7 @@ class HighResolutionModule(nn.Module):
     multi_scale_output: bool = True
     dtype: Any = jnp.float32
     folded: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
@@ -135,7 +215,7 @@ class HighResolutionModule(nn.Module):
             y = xs[b]
             for k in range(cfg.num_blocks[b]):
                 y = BasicBlock(chans[b], dtype=self.dtype,
-                               folded=self.folded,
+                               folded=self.folded, quant=self.quant,
                                name=f"branch{b}_block{k}")(y, train)
             ys.append(y)
         if cfg.num_branches == 1:
@@ -151,7 +231,7 @@ class HighResolutionModule(nn.Module):
                 elif j > i:
                     # channel-align then nearest-upsample 2^(j-i)
                     z = ConvBN(chans[i], 1, 1, relu=False, dtype=self.dtype,
-                               folded=self.folded,
+                               folded=self.folded, quant=self.quant,
                                name=f"fuse{i}_{j}")(ys[j], train)
                     z = _upsample_nearest(z, 2 ** (j - i))
                 else:
@@ -161,7 +241,7 @@ class HighResolutionModule(nn.Module):
                         last = (k == i - j - 1)
                         z = ConvBN(chans[i] if last else chans[j], 3, 2,
                                    relu=not last, dtype=self.dtype,
-                                   folded=self.folded,
+                                   folded=self.folded, quant=self.quant,
                                    name=f"fuse{i}_{j}_{k}")(z, train)
                 acc = z if acc is None else acc + z
             fused.append(nn.relu(acc).astype(self.dtype))
@@ -176,6 +256,7 @@ class PoseHighResolutionNet(nn.Module):
     config: HRNetConfig = get_hrnet_config("w32_256x192")
     dtype: Any = jnp.float32
     folded: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -184,14 +265,14 @@ class PoseHighResolutionNet(nn.Module):
 
         # stem: two stride-2 3x3 convs (reference: models/HRnet.py:290-296)
         x = ConvBN(cfg.stem_channels, 3, 2, dtype=self.dtype,
-                   folded=self.folded, name="stem1")(x, train)
+                   folded=self.folded, quant=self.quant, name="stem1")(x, train)
         x = ConvBN(cfg.stem_channels, 3, 2, dtype=self.dtype,
-                   folded=self.folded, name="stem2")(x, train)
+                   folded=self.folded, quant=self.quant, name="stem2")(x, train)
 
         # layer1: Bottleneck stack at full stage resolution
         for k in range(cfg.stage1_num_blocks):
             x = Bottleneck(cfg.stem_channels, downsample=(k == 0),
-                           dtype=self.dtype, folded=self.folded,
+                           dtype=self.dtype, folded=self.folded, quant=self.quant,
                            name=f"layer1_{k}")(x, train)
 
         xs = [x]
@@ -205,7 +286,7 @@ class PoseHighResolutionNet(nn.Module):
                 if i < len(prev_channels):
                     if prev_channels[i] != stage.num_channels[i]:
                         z = ConvBN(stage.num_channels[i], 3, 1,
-                                   dtype=self.dtype, folded=self.folded,
+                                   dtype=self.dtype, folded=self.folded, quant=self.quant,
                                    name=f"transition{s - 1}_{i}")(xs[i], train)
                     else:
                         z = xs[i]
@@ -216,7 +297,7 @@ class PoseHighResolutionNet(nn.Module):
                                   if j == i - len(prev_channels) else
                                   prev_channels[-1])
                         z = ConvBN(out_ch, 3, 2, dtype=self.dtype,
-                                   folded=self.folded,
+                                   folded=self.folded, quant=self.quant,
                                    name=f"transition{s - 1}_{i}_{j}")(z, train)
                 nxt.append(z)
             xs = nxt
@@ -225,7 +306,7 @@ class PoseHighResolutionNet(nn.Module):
                 mso = not (is_last_stage and m == stage.num_modules - 1)
                 xs = HighResolutionModule(stage, multi_scale_output=mso,
                                           dtype=self.dtype,
-                                          folded=self.folded,
+                                          folded=self.folded, quant=self.quant,
                                           name=f"stage{s}_m{m}")(xs, train)
             prev_channels = list(stage.num_channels)
 
@@ -239,9 +320,9 @@ class PoseHighResolutionNet(nn.Module):
 
 
 def create_hrnet(config_name: str = "w32_256x192", dtype=jnp.float32,
-                 folded: bool = False):
+                 folded: bool = False, quant: str = "none"):
     return PoseHighResolutionNet(config=get_hrnet_config(config_name),
-                                 dtype=dtype, folded=folded)
+                                 dtype=dtype, folded=folded, quant=quant)
 
 
 def fold_batchnorms(variables, epsilon: float = 1e-5):

@@ -1,0 +1,174 @@
+"""Post-training int8 quantization (PTQ) for the HRNet serving graph.
+
+TPU-native serving optimization with no reference counterpart (the
+reference serves the live torch f32 module, model_setup.py:19-47): the
+v5e MXU executes int8×int8→int32 at twice the bf16 MAC rate, and the
+measured win through XLA (requantization included) is ~1.3× on the thin
+32-channel HRNet branch convs and ~1.9× on fat 256-channel convs — see
+README "Measured performance".
+
+Scheme: w8a8, symmetric weights, mode-adaptive activations.
+
+  * Weights: per-output-channel scales ``sw[o] = max|W[..., o]| / 127``,
+    quantized once on host at export time (exact, data-free).
+  * Activations: per-tensor scales from calibration — the FOLDED serving
+    graph runs in ``quant="calib"`` mode over a calibration stream and
+    records per-conv input absmax / q999 / min (``calib_stats``,
+    max/min-reduced across batches). Signed inputs (the stem's
+    normalized image) use symmetric ``sx = absmax/127``; post-ReLU
+    inputs (everything else — detected by calibrated ``in_min >= 0``)
+    are promoted to a shifted-unsigned scheme: ``sx = absmax/255``,
+    zero-point 128, implemented exactly by padding the shifted int8
+    input with ``-zp`` and folding the uniform ``zp*sum(w8)`` term into
+    the bias. The extra bit of resolution cut dominant-peak drift ~3× on
+    the overfit-tiny instrument (p95 2.9 -> 0.95 heatmap px).
+  * The int32 accumulator is dequantized as ``y = acc * (sx * sw) + b``
+    with the folded-BN bias in f32; ReLU and residual adds stay in the
+    compute dtype. The final 1×1 heatmap head remains un-quantized
+    (17 thin output channels — negligible FLOPs, and it sets the decode
+    precision).
+
+The quantized param pytree intentionally mirrors the module tree of a
+``quant="int8"`` model (each ConvBN scope carries ``kernel_i8``, ``sw``,
+``sx``, ``bias`` in place of the folded ``conv/{kernel,bias}``), so
+``model.apply`` works directly with the returned variables.
+
+Accuracy: bounded in-suite by tests/test_int8_accuracy.py (the overfit
+tiny-model instrument mirroring the bf16 bound in test_bf16_accuracy.py).
+Int8 drift is larger than bf16 drift — it is a serving-throughput
+trade-off knob, NOT the AP-parity configuration (that remains bf16 +
+folded BN, RUNBOOK_AP_PARITY.md).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_plain(tree):
+    if hasattr(tree, "items"):
+        return {k: _to_plain(v) for k, v in tree.items()}
+    return tree
+
+
+def calibrate_hrnet(model_calib, folded_variables, batches: Iterable,
+                    train: bool = False):
+    """Run the folded serving graph in calibration mode over ``batches``
+    and return the max-reduced ``calib_stats`` tree (host numpy).
+
+    Args:
+      model_calib: a ``create_hrnet(..., folded=True, quant="calib")``
+        module whose dtype matches the intended serving dtype.
+      folded_variables: ``fold_batchnorms`` output for that config.
+      batches: iterable of input arrays (N, H, W, 3), already normalized
+        exactly as serving will normalize.
+    """
+
+    @jax.jit
+    def stats_fn(v, x):
+        _, upd = model_calib.apply(v, x, train=False,
+                                   mutable=["calib_stats"])
+        return upd["calib_stats"]
+
+    def merge(a, b, name=None):
+        if isinstance(a, dict) or hasattr(a, "items"):
+            return {k: merge(a[k], b[k], k) for k in a}
+        red = jnp.minimum if name == "in_min" else jnp.maximum
+        return jax.tree.map(red, a, b)
+
+    acc = None
+    for x in batches:
+        s = stats_fn(folded_variables, jnp.asarray(x))
+        acc = s if acc is None else merge(acc, s)
+    if acc is None:
+        raise ValueError("calibration stream was empty")
+    return jax.device_get(acc)
+
+
+def quantize_hrnet(folded_variables, calib_stats, min_scale: float = 1e-8,
+                   act_clip: str = "absmax"):
+    """Folded f32 variables + calibration stats tree -> int8 variables.
+
+    Walks the folded param tree; every ConvBN scope (``{"conv":
+    {"kernel", "bias"}}`` with a matching calibration leaf) is rewritten
+    to the ``quant="int8"`` param layout. Scopes without calibration
+    stats (the un-quantized ``final_layer`` head) pass through unchanged.
+
+    ``act_clip`` selects the activation-scale basis. ``"absmax"``
+    (default) never clips. ``"q999"`` clips at the calibrated 99.9%
+    quantile of |x| — the textbook PTQ trick for heavy-tailed post-ReLU
+    activations, but measured WRONG for this model family: a heatmap
+    regressor's signal IS the activation outliers (the peaks), and
+    clipping them moved dominant-peak p95 drift from ~1 to ~35 heatmap px
+    on the overfit-tiny instrument. Kept as an option because it is the
+    right knob for classification-style backbones; do not use it for
+    peaked-regression heads.
+    """
+    params = _to_plain(folded_variables["params"])
+    stats = _to_plain(calib_stats)
+    key = {"q999": "in_q999", "absmax": "in_absmax"}[act_clip]
+
+    def walk(p, s):
+        if (isinstance(p, dict) and set(p.keys()) == {"conv"}
+                and isinstance(s, dict) and "in_absmax" in s):
+            W = np.asarray(p["conv"]["kernel"], np.float64)   # (k,k,I,O)
+            bias = np.asarray(p["conv"]["bias"], np.float32)
+            sw = np.maximum(np.abs(W).max(axis=(0, 1, 2)) / 127.0,
+                            min_scale)
+            w8 = np.clip(np.rint(W / sw), -127, 127).astype(np.int8)
+            basis = float(np.asarray(s.get(key, s["in_absmax"])).ravel()[0])
+            xmin = (float(np.asarray(s["in_min"]).ravel()[0])
+                    if "in_min" in s else -np.inf)
+            if xmin >= -1e-6:
+                # post-ReLU input: shifted-unsigned scheme (zp=128, range
+                # [0,255]) — halves the activation quantization step. The
+                # uniform zp*sum(w8) term the shifted conv subtracts is
+                # folded back into the bias here (hrnet.py ConvBN int8).
+                zp, qlo, qhi = 128.0, 0.0, 255.0
+                sx = max(basis / 255.0, min_scale)
+            else:
+                zp, qlo, qhi = 0.0, -127.0, 127.0
+                sx = max(basis / 127.0, min_scale)
+            bias = (bias + np.float32(zp * sx)
+                    * w8.sum(axis=(0, 1, 2)).astype(np.float32)
+                    * sw.astype(np.float32))
+            return {"kernel_i8": jnp.asarray(w8),
+                    "sw": jnp.asarray(sw.astype(np.float32)),
+                    "sx": jnp.asarray(np.float32(sx)),
+                    "zp": jnp.asarray(np.float32(zp)),
+                    "qlo": jnp.asarray(np.float32(qlo)),
+                    "qhi": jnp.asarray(np.float32(qhi)),
+                    "bias": jnp.asarray(bias.astype(np.float32))}
+        if isinstance(p, dict):
+            return {k: walk(v, s.get(k, {}) if isinstance(s, dict) else {})
+                    for k, v in p.items()}
+        return p
+
+    return {"params": walk(params, stats)}
+
+
+def quantize_hrnet_from_batches(config_name, variables, batches,
+                                dtype=jnp.float32):
+    """Convenience one-shot: fold -> calibrate -> quantize.
+
+    Args:
+      config_name: HRNet config name (``"w32_256x192"``, ``"tiny"``...).
+      variables: UNfolded train-format variables ({params, batch_stats}).
+      batches: normalized input batches for calibration.
+    Returns:
+      (int8 variables, int8 model) ready for ``model.apply``.
+    """
+    from stlpose_tpu.models.hrnet import create_hrnet, fold_batchnorms
+
+    folded = fold_batchnorms(variables)
+    calib_model = create_hrnet(config_name, dtype=dtype, folded=True,
+                               quant="calib")
+    stats = calibrate_hrnet(calib_model, folded, batches)
+    qvars = quantize_hrnet(folded, stats)
+    model = create_hrnet(config_name, dtype=dtype, folded=True,
+                         quant="int8")
+    return qvars, model

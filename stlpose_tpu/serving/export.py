@@ -30,18 +30,21 @@ from typing import Callable, Sequence
 import numpy as np
 
 
-def _build_serving_fn(config_name: str, dtype, flip_tta: bool = False):
+def _build_serving_fn(config_name: str, dtype, flip_tta: bool = False,
+                      quant: str = "none"):
     """The full serving computation as a pure function of (params, crops
     uint8, centers, scales). With ``flip_tta`` the eval-grade program is
     built instead: one doubled-batch forward over [crops, mirrored
     crops], flipped-back heatmaps averaged before decode (the
-    03_evaluate path, reference inference.py forward_pass)."""
+    03_evaluate path, reference inference.py forward_pass). With
+    ``quant="int8"`` the w8a8 PTQ graph is built (models/quantize.py);
+    the caller passes quantized variables."""
     import jax.numpy as jnp
 
     from stlpose_tpu.models import create_hrnet
     from stlpose_tpu.ops.decode import decode_heatmaps_nhwc
 
-    model = create_hrnet(config_name, dtype=dtype, folded=True)
+    model = create_hrnet(config_name, dtype=dtype, folded=True, quant=quant)
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
     std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
 
@@ -67,7 +70,9 @@ def export_pose_server(variables, out_dir: str,
                        input_hw: tuple = (256, 192),
                        platforms: Sequence[str] = ("tpu", "cpu"),
                        fold: bool = True,
-                       flip_tta: bool = False) -> str:
+                       flip_tta: bool = False,
+                       quant: str = "none",
+                       calib_crops=None) -> str:
     """Export the serving function to ``out_dir``; returns the dir.
 
     Args:
@@ -78,6 +83,12 @@ def export_pose_server(variables, out_dir: str,
       flip_tta: bake the eval-grade flip-TTA program (doubled-batch
         forward + flip-back averaging before decode) — the 03_evaluate
         accuracy configuration as a serving artifact.
+      quant: ``"int8"`` bakes the w8a8 PTQ graph (models/quantize.py,
+        accuracy bound tests/test_int8_accuracy.py) and stores int8
+        kernels + scales as the artifact's weight pytree. Requires
+        ``fold`` and ``calib_crops``.
+      calib_crops: uint8 calibration crops (N, H, W, 3) for activation
+        scale selection (normalized internally exactly as serving does).
     """
     import jax
     from jax import export as jexport
@@ -85,10 +96,26 @@ def export_pose_server(variables, out_dir: str,
 
     from stlpose_tpu.models import fold_batchnorms
 
-    if fold:
+    if quant == "int8":
+        if not fold or flip_tta:
+            raise ValueError("int8 export requires fold=True and no TTA")
+        if calib_crops is None:
+            raise ValueError("int8 export needs calib_crops")
+        from stlpose_tpu.models import create_hrnet
+        from stlpose_tpu.models.quantize import (calibrate_hrnet,
+                                                 quantize_hrnet)
+        folded = fold_batchnorms(variables)
+        mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+        std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+        xc = (jnp.asarray(calib_crops).astype(jnp.float32) - mean) / std
+        calibm = create_hrnet(config_name, dtype=jnp.float32, folded=True,
+                              quant="calib")
+        variables = quantize_hrnet(
+            folded, calibrate_hrnet(calibm, folded, [xc]))
+    elif fold:
         variables = fold_batchnorms(variables)
     serve, _ = _build_serving_fn(config_name, jnp.bfloat16,
-                                 flip_tta=flip_tta)
+                                 flip_tta=flip_tta, quant=quant)
 
     H, W = input_hw
     b = jexport.symbolic_shape("b")[0]
@@ -116,7 +143,9 @@ def export_pose_server(variables, out_dir: str,
         "platforms": list(platforms),
         "bn_folded": bool(fold),
         "flip_tta": bool(flip_tta),
-        "compute_dtype": "bfloat16",
+        "quant": quant,
+        "compute_dtype": ("int8_w8a8 (bf16 glue)" if quant == "int8"
+                          else "bfloat16"),
         "jax_version": jax.__version__,
         "calling_convention_version":
             int(exported.calling_convention_version),

@@ -208,6 +208,31 @@ def test_inline_style_train_cli(tmp_path):
     assert np.isfinite(logs["loss"]["training"][0])
 
 
+def test_serving_export_cli_int8(workspace, tmp_path):
+    """08_export_serving --quant int8 --calib_images <npy>: the PTQ
+    serving flavor is reachable from the CLI contract (library path
+    bounded by tests/test_int8_accuracy.py)."""
+    data, exp_path = workspace
+    rng = np.random.RandomState(1)
+    calib = rng.randint(0, 256, (4, 256, 192, 3), dtype=np.uint8)
+    calib_npy = str(tmp_path / "calib.npy")
+    np.save(calib_npy, calib)
+    env = dict(os.environ, STLPOSE_MODEL_CONFIG="tiny",
+               STLPOSE_PRETRAINED="", PALLAS_AXON_POOL_IPS="",
+               JAX_PLATFORMS="cpu")
+    out_dir = os.path.join(exp_path, "int8_export")
+    out = subprocess.run(
+        [sys.executable, "scripts/08_export_serving.py", "-d", exp_path,
+         "--platforms", "cpu", "--quant", "int8",
+         "--calib_images", calib_npy, "--out", out_dir],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
+    assert manifest["quant"] == "int8"
+    assert manifest["compute_dtype"].startswith("int8")
+    assert os.path.exists(os.path.join(out_dir, "model.stablehlo"))
+
+
 def test_two_stage_export_cli(workspace):
     """08_export_serving --pipeline two_stage exports the fused
     detector->crops->pose artifact from the experiment + env config."""

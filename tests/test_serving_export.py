@@ -52,6 +52,45 @@ def test_export_reload_exact_and_batch_polymorphic(tmp_path):
                                    np.asarray(maxvals), atol=1e-5)
 
 
+def test_export_int8_round_trip(tmp_path):
+    """The int8 PTQ export flavor: the artifact's program must agree with
+    the live quant="int8" graph on the quantized weights, and the
+    manifest must record the flavor."""
+    from stlpose_tpu.models.quantize import quantize_hrnet_from_batches
+
+    variables = _make_variables()
+    rng = np.random.RandomState(3)
+    calib = rng.randint(0, 256, (4,) + HW + (3,), dtype=np.uint8)
+    out = export_pose_server(variables, str(tmp_path / "q"),
+                             config_name=CONFIG, input_hw=HW,
+                             platforms=("cpu",), quant="int8",
+                             calib_crops=calib)
+    serve, manifest = load_pose_server(out)
+    assert manifest["quant"] == "int8"
+    assert manifest["compute_dtype"].startswith("int8")
+
+    # live int8 reference on identically-derived quantized weights
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+    xc = (jnp.asarray(calib).astype(jnp.float32) - mean) / std
+    qvars, _ = quantize_hrnet_from_batches(CONFIG, variables, [xc])
+    qmodel = create_hrnet(CONFIG, dtype=jnp.bfloat16, folded=True,
+                          quant="int8")
+
+    crops = jnp.asarray(rng.randint(0, 256, (2,) + HW + (3,),
+                                    dtype=np.uint8))
+    centers = jnp.asarray(rng.uniform(50, 200, (2, 2)), jnp.float32)
+    scales = jnp.ones((2, 2), jnp.float32)
+    got = serve(qvars, crops, centers, scales)
+    x = (crops.astype(jnp.float32) - mean) / std
+    hm = qmodel.apply(qvars, x, train=False)
+    preds, maxvals, _ = decode_heatmaps_nhwc(hm, centers, scales)
+    np.testing.assert_allclose(np.asarray(got["keypoints"]),
+                               np.asarray(preds), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["scores"]),
+                               np.asarray(maxvals), atol=1e-4)
+
+
 def test_export_artifact_is_self_contained(tmp_path):
     """The artifact file round-trips through raw bytes (no live objects)."""
     variables = _make_variables()
