@@ -98,7 +98,7 @@ def _folded_pose_setup(jax):
     return model, variables, folded, mean, std
 
 
-def bench_infer(batch, iters, warmup, fold=True, quant=False):
+def bench_infer(batch, iters, warmup, fold=True, quant=None):
     jax = _setup()
     import jax.numpy as jnp
     from stlpose_tpu.models import create_hrnet, fold_batchnorms
@@ -111,17 +111,19 @@ def bench_infer(batch, iters, warmup, fold=True, quant=False):
     jmean = jnp.asarray(mean)
     jstd = jnp.asarray(std)
     if quant:
-        # int8 PTQ serving flavor (models/quantize.py): fold, calibrate on
-        # a normalized sample of the bench stream (scale VALUES don't
+        # int8 PTQ serving flavors (models/quantize.py): fold, calibrate
+        # on a normalized sample of the bench stream (scale VALUES don't
         # affect timing — the program is identical for any scales), then
-        # run the w8a8 graph with bf16 glue. Accuracy bound:
-        # tests/test_int8_accuracy.py. Measured +4.7% over the bf16
-        # headline at B=128 — the thin high-res branch convs cap the win;
-        # fat-conv models gain far more (see README int8 row).
+        # run the w8a8 graph with bf16 glue. "int8" = signed throughput
+        # flavor (+4.7% over bf16 at B=128; accuracy collapses on the
+        # tiny instrument — README int8 row); "int8u" = zero-point
+        # accuracy flavor (measured -16%). Bounds for both:
+        # tests/test_int8_accuracy.py.
         from stlpose_tpu.models.quantize import (calibrate_hrnet,
                                                  quantize_hrnet)
+        scheme = "signed" if quant == "int8" else "unsigned"
         model = create_hrnet("w32_256x192", dtype=jnp.bfloat16, folded=True,
-                             quant="int8")
+                             quant=quant)
         variables = _init_variables(jax, base, (1, 256, 192, 3),
                                     to_device=False)
         folded = fold_batchnorms(variables)
@@ -134,8 +136,9 @@ def bench_infer(batch, iters, warmup, fold=True, quant=False):
                   - mean) / std
             stats = calibrate_hrnet(calibm, jax.device_put(folded, cpu),
                                     [jax.device_put(jnp.asarray(xc), cpu)])
-        variables = jax.device_put(quantize_hrnet(folded, stats),
-                                   jax.devices()[0])
+        variables = jax.device_put(
+            quantize_hrnet(folded, stats, act_scheme=scheme),
+            jax.devices()[0])
     elif fold:
         # serving configuration: every BN folded into conv weights — an
         # EXACT transform (test_fold_bn.py); input normalization stays an
@@ -167,13 +170,13 @@ def bench_infer(batch, iters, warmup, fold=True, quant=False):
     per_iter, chk = _chained_time(
         infer, lambda c: (variables, crops, centers, scales, c),
         iters, warmup)
-    suffix = "_int8" if quant else ""
+    suffix = f"_{quant}" if quant else ""
     return {"metric": f"hrnet_w32_256x192_inference_throughput{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "crops/sec/chip",
             "vs_baseline": round(batch / per_iter / TARGET, 3),
             "detail": {"batch": batch, "folded_bn": fold,
-                       "quant": "int8_w8a8" if quant else "none",
+                       "quant": (f"{quant}_w8a8" if quant else "none"),
                        "ms_per_iter": round(per_iter * 1000, 2),
                        "iters": iters, "checksum": round(chk, 2)}}
 
@@ -839,16 +842,18 @@ def main():
                     choices=["faster_rcnn", "efficientdet"],
                     help="detector stage for --mode twostage_compact")
     ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "bfloat16", "int8"],
+                    choices=["float32", "bfloat16", "int8", "int8u"],
                     help="train-mode compute dtype (mixed precision); "
-                         "int8 selects the PTQ serving flavor for "
+                         "int8/int8u select the PTQ serving flavors for "
                          "--mode infer (models/quantize.py)")
     args = ap.parse_args()
 
     if args.mode == "infer":
         result = bench_infer(args.batch, args.iters, args.warmup,
                              fold=not args.no_fold,
-                             quant=(args.dtype == "int8"))
+                             quant=(args.dtype
+                                    if args.dtype.startswith("int8")
+                                    else None))
     elif args.mode == "tta":
         result = bench_tta(args.batch, args.iters, args.warmup)
     elif args.mode == "train":

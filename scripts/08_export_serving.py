@@ -66,9 +66,11 @@ def main():
     ap.add_argument("--flip_tta", action="store_true",
                     help="pose: bake the eval-grade flip-TTA program "
                          "(doubled-batch forward + flip-back averaging)")
-    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int8u"],
                     help="pose: int8 bakes the w8a8 PTQ serving graph "
-                         "(models/quantize.py; accuracy bound "
+                         "(throughput flavor); int8u the shifted-unsigned "
+                         "accuracy flavor (models/quantize.py; bounds "
                          "tests/test_int8_accuracy.py); needs "
                          "--calib_images")
     ap.add_argument("--calib_images", default=None,
@@ -129,9 +131,9 @@ def main():
             packed_output=args.packed)
     else:
         calib = None
-        if args.quant == "int8":
+        if args.quant in ("int8", "int8u"):
             if args.calib_images is None:
-                ap.error("--quant int8 requires --calib_images")
+                ap.error(f"--quant {args.quant} requires --calib_images")
             calib = _load_calib_crops(args.calib_images, (hw[1], hw[0]),
                                       args.calib_count)
         export_pose_server(variables, out_dir, config_name=config_name,

@@ -51,16 +51,21 @@ class ConvBN(nn.Module):
       * ``"calib"`` — f32/bf16 folded compute, but additionally records the
         input-activation absmax into the ``calib_stats`` collection
         (max-reduced across calls) for scale selection.
-      * ``"int8"`` — w8a8: the input is quantized per-tensor (scale
-        ``sx``, zero-point ``zp`` — 0 for signed inputs, 128 for
-        post-ReLU inputs promoted to the shifted-unsigned range), the
-        kernel is pre-quantized per-output-channel (scales ``sw``), the
-        conv runs int8×int8→int32 on the MXU (2× the bf16 MACs/cycle on
-        v5e — measured ~1.3× on the thin HRNet branch convs and ~1.9× on
-        fat 256-channel convs, requantization included), and the int32
+      * ``"int8"`` — w8a8 throughput flavor: the input is quantized
+        per-tensor symmetric signed (scale ``sx``), the kernel is
+        pre-quantized per-output-channel (scales ``sw``), the conv runs
+        int8×int8→int32 on the MXU (2× the bf16 MACs/cycle on v5e —
+        measured ~1.3× on the thin HRNet branch convs and ~1.9× on fat
+        256-channel convs, requantization included), and the int32
         accumulator is dequantized with the folded-BN bias applied in
         f32. Params for this mode come from ``quantize.quantize_hrnet``,
         not ``init``.
+      * ``"int8u"`` — w8a8 accuracy flavor: post-ReLU inputs additionally
+        carry a per-conv zero-point (``zp``=128, shifted-unsigned range)
+        for an extra bit of activation resolution, implemented exactly
+        via ``-zp`` padding + a bias fold; ~3× less keypoint drift,
+        measured -16% throughput vs ``"int8"`` (the non-zero-value pad
+        cannot fold into the TPU conv).
     """
     features: int
     kernel: int = 3
@@ -75,7 +80,7 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.kernel // 2
-        if self.quant == "int8":
+        if self.quant in ("int8", "int8u"):
             assert self.folded, "int8 serving requires a folded graph"
             kshape = (self.kernel, self.kernel, x.shape[-1], self.features)
             w8 = self.param("kernel_i8", nn.initializers.zeros, kshape,
@@ -85,31 +90,47 @@ class ConvBN(nn.Module):
             sx = self.param("sx", nn.initializers.ones, (), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
-            # zero-point + clip range (f32 scalars so one traced program
-            # serves both modes): signed symmetric (zp=0, ±127) for signed
-            # inputs (the stem's normalized image), shifted-unsigned
-            # (zp=128, [0,255]) for post-ReLU inputs — non-negative
-            # activations waste half the signed range, so the shift buys
-            # an extra bit of resolution. The shift is made exact by
-            # padding with -zp (a padded cell then represents x=0, exactly
-            # like the f32 graph's zero padding) and folding the uniform
-            # zp*sum(w8) correction into ``bias`` at quantize time
-            # (quantize.py::quantize_hrnet).
-            zp = self.param("zp", nn.initializers.zeros, (), jnp.float32)
-            qlo = self.param("qlo", nn.initializers.constant(-127.0), (),
-                             jnp.float32)
-            qhi = self.param("qhi", nn.initializers.constant(127.0), (),
-                             jnp.float32)
-            xq = (jnp.clip(jnp.round(x.astype(jnp.float32) / sx), qlo, qhi)
-                  - zp).astype(jnp.int8)
-            xq = lax.pad(xq, (-zp).astype(jnp.int8),
-                         [(0, 0, 0), (pad, pad, 0), (pad, pad, 0),
-                          (0, 0, 0)])
-            y = lax.conv_general_dilated(
-                xq, w8, (self.stride, self.stride),
-                [(0, 0), (0, 0)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
+            if self.quant == "int8":
+                # throughput flavor: symmetric signed, plain zero-padded
+                # int8 conv — the only variant whose conv stays the
+                # vanilla MXU program (the hardware-measured headline)
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                              -127.0, 127.0).astype(jnp.int8)
+                y = lax.conv_general_dilated(
+                    xq, w8, (self.stride, self.stride),
+                    [(pad, pad), (pad, pad)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+            else:
+                # accuracy flavor ("int8u"): per-conv zero-point (0 for
+                # signed inputs like the stem's normalized image, 128 for
+                # post-ReLU inputs — non-negative activations waste half
+                # the signed range, so the shift buys an extra bit of
+                # resolution, measured ~3x less dominant-peak drift).
+                # Exactness: the input is padded with -zp so a padded
+                # cell represents x=0 like the f32 graph's zero padding,
+                # and the uniform zp*sum(w8) offset is pre-folded into
+                # ``bias`` by quantize.py. The non-zero-value pad cannot
+                # fold into the TPU conv, so this flavor trades measured
+                # throughput (-16%) for the accuracy — an epilogue
+                # formulation that kept the conv zero-padded measured
+                # worse still (-23%, full (H,W,O) correction per call).
+                zp = self.param("zp", nn.initializers.zeros, (),
+                                jnp.float32)
+                qlo = self.param("qlo", nn.initializers.constant(-127.0),
+                                 (), jnp.float32)
+                qhi = self.param("qhi", nn.initializers.constant(127.0),
+                                 (), jnp.float32)
+                xq = (jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                               qlo, qhi) - zp).astype(jnp.int8)
+                xq = lax.pad(xq, (-zp).astype(jnp.int8),
+                             [(0, 0, 0), (pad, pad, 0), (pad, pad, 0),
+                              (0, 0, 0)])
+                y = lax.conv_general_dilated(
+                    xq, w8, (self.stride, self.stride),
+                    [(0, 0), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
             y = y.astype(jnp.float32) * (sx * sw) + bias
             if self.relu:
                 y = nn.relu(y)

@@ -7,21 +7,29 @@ measured win through XLA (requantization included) is ~1.3× on the thin
 32-channel HRNet branch convs and ~1.9× on fat 256-channel convs — see
 README "Measured performance".
 
-Scheme: w8a8, symmetric weights, mode-adaptive activations.
+Scheme: w8a8, symmetric weights, two activation flavors.
 
   * Weights: per-output-channel scales ``sw[o] = max|W[..., o]| / 127``,
     quantized once on host at export time (exact, data-free).
   * Activations: per-tensor scales from calibration — the FOLDED serving
     graph runs in ``quant="calib"`` mode over a calibration stream and
     records per-conv input absmax / q999 / min (``calib_stats``,
-    max/min-reduced across batches). Signed inputs (the stem's
-    normalized image) use symmetric ``sx = absmax/127``; post-ReLU
-    inputs (everything else — detected by calibrated ``in_min >= 0``)
-    are promoted to a shifted-unsigned scheme: ``sx = absmax/255``,
+    max/min-reduced across batches).
+  * ``act_scheme="signed"`` (``quant="int8"``, the throughput flavor):
+    symmetric ``sx = absmax/127`` everywhere; the conv is the vanilla
+    zero-padded int8 MXU program.
+  * ``act_scheme="unsigned"`` (``quant="int8u"``, the accuracy flavor):
+    post-ReLU inputs (detected by calibrated ``in_min >= 0``) are
+    promoted to a shifted-unsigned scheme — ``sx = absmax/255``,
     zero-point 128, implemented exactly by padding the shifted int8
     input with ``-zp`` and folding the uniform ``zp*sum(w8)`` term into
     the bias. The extra bit of resolution cut dominant-peak drift ~3× on
-    the overfit-tiny instrument (p95 2.9 -> 0.95 heatmap px).
+    the overfit-tiny instrument (p95 2.9 -> 0.95 heatmap px), but the
+    non-zero-value pad cannot fold into the TPU conv: hardware-measured
+    -16% vs "signed" (an epilogue formulation that kept the conv
+    zero-padded and added the ``zp*(in-bounds tap sum)`` correction
+    measured worse still, -23%: the (H,W,O) correction tensor is
+    recomputed and round-tripped through HBM every call).
   * The int32 accumulator is dequantized as ``y = acc * (sx * sw) + b``
     with the folded-BN bias in f32; ReLU and residual adds stay in the
     compute dtype. The final 1×1 heatmap head remains un-quantized
@@ -90,13 +98,22 @@ def calibrate_hrnet(model_calib, folded_variables, batches: Iterable,
 
 
 def quantize_hrnet(folded_variables, calib_stats, min_scale: float = 1e-8,
-                   act_clip: str = "absmax"):
+                   act_clip: str = "absmax", act_scheme: str = "signed"):
     """Folded f32 variables + calibration stats tree -> int8 variables.
 
     Walks the folded param tree; every ConvBN scope (``{"conv":
     {"kernel", "bias"}}`` with a matching calibration leaf) is rewritten
-    to the ``quant="int8"`` param layout. Scopes without calibration
-    stats (the un-quantized ``final_layer`` head) pass through unchanged.
+    to the int8 param layout. Scopes without calibration stats (the
+    un-quantized ``final_layer`` head) pass through unchanged.
+
+    ``act_scheme`` picks the serving flavor (must match the model's
+    ``quant`` string): ``"signed"`` -> ``quant="int8"`` (symmetric,
+    vanilla zero-padded int8 conv — the throughput flavor);
+    ``"unsigned"`` -> ``quant="int8u"`` (post-ReLU inputs, detected by
+    calibrated ``in_min >= 0``, get zero-point 128 and ``sx =
+    absmax/255`` — an extra bit of activation resolution, ~3× less
+    dominant-peak drift, at a hardware-measured -16% throughput because
+    the exact ``-zp`` padding cannot fold into the TPU conv).
 
     ``act_clip`` selects the activation-scale basis. ``"absmax"``
     (default) never clips. ``"q999"`` clips at the calibrated 99.9%
@@ -111,6 +128,8 @@ def quantize_hrnet(folded_variables, calib_stats, min_scale: float = 1e-8,
     params = _to_plain(folded_variables["params"])
     stats = _to_plain(calib_stats)
     key = {"q999": "in_q999", "absmax": "in_absmax"}[act_clip]
+    if act_scheme not in ("signed", "unsigned"):
+        raise ValueError(f"unknown act_scheme {act_scheme!r}")
 
     def walk(p, s):
         if (isinstance(p, dict) and set(p.keys()) == {"conv"}
@@ -123,11 +142,18 @@ def quantize_hrnet(folded_variables, calib_stats, min_scale: float = 1e-8,
             basis = float(np.asarray(s.get(key, s["in_absmax"])).ravel()[0])
             xmin = (float(np.asarray(s["in_min"]).ravel()[0])
                     if "in_min" in s else -np.inf)
+            out = {"kernel_i8": jnp.asarray(w8),
+                   "sw": jnp.asarray(sw.astype(np.float32))}
+            if act_scheme == "signed":
+                out["sx"] = jnp.asarray(np.float32(
+                    max(basis / 127.0, min_scale)))
+                out["bias"] = jnp.asarray(bias)
+                return out
             if xmin >= -1e-6:
-                # post-ReLU input: shifted-unsigned scheme (zp=128, range
-                # [0,255]) — halves the activation quantization step. The
-                # uniform zp*sum(w8) term the shifted conv subtracts is
-                # folded back into the bias here (hrnet.py ConvBN int8).
+                # post-ReLU input: shifted-unsigned (zp=128, [0,255]).
+                # The conv pads with -zp (hrnet.py), which uniformly
+                # subtracts zp*sum(w8) vs the true result — fold it back
+                # into the bias here.
                 zp, qlo, qhi = 128.0, 0.0, 255.0
                 sx = max(basis / 255.0, min_scale)
             else:
@@ -136,13 +162,13 @@ def quantize_hrnet(folded_variables, calib_stats, min_scale: float = 1e-8,
             bias = (bias + np.float32(zp * sx)
                     * w8.sum(axis=(0, 1, 2)).astype(np.float32)
                     * sw.astype(np.float32))
-            return {"kernel_i8": jnp.asarray(w8),
-                    "sw": jnp.asarray(sw.astype(np.float32)),
-                    "sx": jnp.asarray(np.float32(sx)),
-                    "zp": jnp.asarray(np.float32(zp)),
-                    "qlo": jnp.asarray(np.float32(qlo)),
-                    "qhi": jnp.asarray(np.float32(qhi)),
-                    "bias": jnp.asarray(bias.astype(np.float32))}
+            out.update({
+                "sx": jnp.asarray(np.float32(sx)),
+                "zp": jnp.asarray(np.float32(zp)),
+                "qlo": jnp.asarray(np.float32(qlo)),
+                "qhi": jnp.asarray(np.float32(qhi)),
+                "bias": jnp.asarray(bias.astype(np.float32))})
+            return out
         if isinstance(p, dict):
             return {k: walk(v, s.get(k, {}) if isinstance(s, dict) else {})
                     for k, v in p.items()}
@@ -152,13 +178,16 @@ def quantize_hrnet(folded_variables, calib_stats, min_scale: float = 1e-8,
 
 
 def quantize_hrnet_from_batches(config_name, variables, batches,
-                                dtype=jnp.float32):
+                                dtype=jnp.float32,
+                                act_scheme: str = "signed"):
     """Convenience one-shot: fold -> calibrate -> quantize.
 
     Args:
       config_name: HRNet config name (``"w32_256x192"``, ``"tiny"``...).
       variables: UNfolded train-format variables ({params, batch_stats}).
       batches: normalized input batches for calibration.
+      act_scheme: ``"signed"`` (throughput flavor, ``quant="int8"``) or
+        ``"unsigned"`` (accuracy flavor, ``quant="int8u"``).
     Returns:
       (int8 variables, int8 model) ready for ``model.apply``.
     """
@@ -168,7 +197,8 @@ def quantize_hrnet_from_batches(config_name, variables, batches,
     calib_model = create_hrnet(config_name, dtype=dtype, folded=True,
                                quant="calib")
     stats = calibrate_hrnet(calib_model, folded, batches)
-    qvars = quantize_hrnet(folded, stats)
+    qvars = quantize_hrnet(folded, stats, act_scheme=act_scheme)
     model = create_hrnet(config_name, dtype=dtype, folded=True,
-                         quant="int8")
+                         quant="int8" if act_scheme == "signed"
+                         else "int8u")
     return qvars, model

@@ -83,10 +83,11 @@ def export_pose_server(variables, out_dir: str,
       flip_tta: bake the eval-grade flip-TTA program (doubled-batch
         forward + flip-back averaging before decode) — the 03_evaluate
         accuracy configuration as a serving artifact.
-      quant: ``"int8"`` bakes the w8a8 PTQ graph (models/quantize.py,
-        accuracy bound tests/test_int8_accuracy.py) and stores int8
-        kernels + scales as the artifact's weight pytree. Requires
-        ``fold`` and ``calib_crops``.
+      quant: ``"int8"`` bakes the w8a8 PTQ throughput graph;
+        ``"int8u"`` the shifted-unsigned accuracy flavor
+        (models/quantize.py, accuracy bounds tests/test_int8_accuracy.py).
+        Both store int8 kernels + scales as the artifact's weight pytree
+        and require ``fold`` and ``calib_crops``.
       calib_crops: uint8 calibration crops (N, H, W, 3) for activation
         scale selection (normalized internally exactly as serving does).
     """
@@ -96,7 +97,7 @@ def export_pose_server(variables, out_dir: str,
 
     from stlpose_tpu.models import fold_batchnorms
 
-    if quant == "int8":
+    if quant in ("int8", "int8u"):
         if not fold or flip_tta:
             raise ValueError("int8 export requires fold=True and no TTA")
         if calib_crops is None:
@@ -111,7 +112,8 @@ def export_pose_server(variables, out_dir: str,
         calibm = create_hrnet(config_name, dtype=jnp.float32, folded=True,
                               quant="calib")
         variables = quantize_hrnet(
-            folded, calibrate_hrnet(calibm, folded, [xc]))
+            folded, calibrate_hrnet(calibm, folded, [xc]),
+            act_scheme="signed" if quant == "int8" else "unsigned")
     elif fold:
         variables = fold_batchnorms(variables)
     serve, _ = _build_serving_fn(config_name, jnp.bfloat16,
@@ -144,8 +146,8 @@ def export_pose_server(variables, out_dir: str,
         "bn_folded": bool(fold),
         "flip_tta": bool(flip_tta),
         "quant": quant,
-        "compute_dtype": ("int8_w8a8 (bf16 glue)" if quant == "int8"
-                          else "bfloat16"),
+        "compute_dtype": ("int8_w8a8 (bf16 glue)"
+                          if quant in ("int8", "int8u") else "bfloat16"),
         "jax_version": jax.__version__,
         "calling_convention_version":
             int(exported.calling_convention_version),
