@@ -66,12 +66,15 @@ def main():
     ap.add_argument("--flip_tta", action="store_true",
                     help="pose: bake the eval-grade flip-TTA program "
                          "(doubled-batch forward + flip-back averaging)")
-    ap.add_argument("--quant", default="none",
+    ap.add_argument("--quant", default="none", nargs="?", const="int8u",
                     choices=["none", "int8", "int8u"],
-                    help="pose: int8 bakes the w8a8 PTQ serving graph "
-                         "(throughput flavor); int8u the shifted-unsigned "
-                         "accuracy flavor (models/quantize.py; bounds "
-                         "tests/test_int8_accuracy.py); needs "
+                    help="pose: int8u (the default when --quant is given "
+                         "bare) bakes the shifted-unsigned w8a8 accuracy "
+                         "flavor; int8 the signed throughput flavor, "
+                         "whose AP COLLAPSES on the only available "
+                         "accuracy instrument (models/quantize.py; "
+                         "bounds tests/test_int8_accuracy.py; caveat "
+                         "recorded in the manifest); needs "
                          "--calib_images")
     ap.add_argument("--calib_images", default=None,
                     help="directory of images (or a .npy of uint8 "

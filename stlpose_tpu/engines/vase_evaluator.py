@@ -48,21 +48,22 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def _fused_pack_spec(B: int, m: int, budget: int):
+def _fused_pack_spec(B: int, m: int, budget: int, J: int = 17):
     """Static (key, shape, dtype) layout of the fused program's outputs
     when flattened into ONE f32 buffer. Serving hosts fetch the whole
     result in a single D2H transfer instead of one per output array —
     under an RPC-attached device (this container's tunnel, or any
     networked serving topology) each fetch pays a full round trip, so 7
     fetches -> 1 is the difference between ~294 ms and ~double-digit ms
-    per engine call at B=8 (BENCH_extra.json::two_stage_engine_*)."""
+    per engine call at B=8 (BENCH_extra.json::two_stage_engine_*).
+    ``J`` is the pose config's joint count (17 for every COCO config)."""
     return (("sel_boxes", (B, m, 4), np.float32),
             ("sel_scores", (B, m), np.float32),
             ("sel_valid", (B, m), np.bool_),
             ("img_idx", (budget,), np.int32),
             ("picked_valid", (budget,), np.bool_),
-            ("crop_kpts", (budget, 17, 3), np.float32),
-            ("img_kpts", (budget, 17, 3), np.float32))
+            ("crop_kpts", (budget, J, 3), np.float32),
+            ("img_kpts", (budget, J, 3), np.float32))
 
 
 def _pack_fused_outputs(out, spec):
@@ -74,7 +75,14 @@ def _pack_fused_outputs(out, spec):
 
 def _unpack_fused_outputs(buf: np.ndarray, spec):
     """Host: split the single fetched f32 buffer back into the output
-    dict (inverse of :func:`_pack_fused_outputs`)."""
+    dict (inverse of :func:`_pack_fused_outputs`). Any pack/spec layout
+    drift (stale manifest vs artifact, mismatched joint count) must fail
+    loudly here, not mis-split silently."""
+    total = sum(int(np.prod(shape)) for _, shape, _ in spec)
+    if buf.size != total:
+        raise ValueError(
+            f"packed buffer has {buf.size} elements but the spec "
+            f"describes {total} — pack/spec layout mismatch")
     out, off = {}, 0
     for k, shape, dt in spec:
         n = int(np.prod(shape))
@@ -315,7 +323,8 @@ class VaseEvaluator:
                 max_dets=self.max_dets, budget=budget,
                 pallas_crop=self._pallas_crop)
             m = min(self.max_dets, self.det_cfg.detections_per_img)
-            spec = _fused_pack_spec(B, m, budget)
+            spec = _fused_pack_spec(B, m, budget,
+                                    self.pose_model.config.num_joints)
 
             def packed(det_vars, pose_vars, images):
                 return _pack_fused_outputs(

@@ -42,8 +42,10 @@ from stlpose_tpu.ops.roi_align import SHORT_EXTENT, _assign_levels, \
     _banded_interp_weights
 
 CHUNK = 512          # boxes per pallas_call: bounds SMEM prefetch size
-# resolved at import, never under trace (ADVICE r2 env-gate class)
-_F32_TIGHT = os.environ.get("STLPOSE_PALLAS_ROI_F32_TIGHT", "1") != "0"
+# resolved at import, never under trace (ADVICE r2 env-gate class).
+# Default ON; only an explicit "0" disables — empty string means unset
+# (ADVICE r4: an explicitly-empty var must keep the documented default).
+_F32_TIGHT = (os.environ.get("STLPOSE_PALLAS_ROI_F32_TIGHT") or "1") != "0"
 # Pallas-path patch budget: the short axis needs <= ~30 rows, but Mosaic
 # requires the DMA row offset to be sublane-tile aligned. The sublane
 # tile is DTYPE-dependent — 8 rows for f32, 16 for bf16 — so the origin
