@@ -346,6 +346,50 @@ def bench_latency(iters, warmup):
         per_iter = min_of_3(det_infer, lambda c: (det_vars, images, c))
         det_ms[b] = round(per_iter * 1000, 3)
 
+    # two-stage latency (VERDICT r4 #6): the fused detect->crop->pose
+    # single program IS the deployment entry point
+    # (04_evaluate_vases_qualitatively.py:176-263 flow), so it gets the
+    # same B=1/4/8 best-of-3 chained treatment as its two stages.
+    from stlpose_tpu.ops.affine import coords_to_center_scale
+    from stlpose_tpu.ops.pallas_warp import use_pallas_warp
+    from stlpose_tpu.ops.warp import crop_from_center_scale_batched
+    pallas_crop = use_pallas_warp()
+    mean01, std01 = mean / 255.0, std / 255.0
+    D = 16
+
+    two_ms = {}
+    for b in (1, 4, 8):
+        n_per_img = rng.randint(1, 4, size=b)
+        dmask = jnp.asarray(np.arange(D)[None, :] < n_per_img[:, None])
+        budget = int(-(-int(n_per_img.sum()) // 8) * 8)
+
+        @jax.jit
+        def two_stage(det_vars, variables, images, dmask, chain,
+                      budget=budget):
+            out = det.predict(det_vars, images + chain * 0.0)
+            boxes = out["boxes"][:, :D]
+            scores = jnp.clip(out["scores"][:, :D], 0.0, 1.0)
+            key = dmask.reshape(-1) * 10.0 + scores.reshape(-1)
+            _, idx = jax.lax.top_k(key, budget)
+            img_idx = (idx // D).astype(jnp.int32)
+            flat_boxes = boxes.reshape(-1, 4)[idx]
+            picked = dmask.reshape(-1)[idx]
+            c, s = coords_to_center_scale(flat_boxes, 192.0 / 256.0)
+            crops = crop_from_center_scale_batched(
+                images, c, s, img_idx, (192, 256), use_pallas=pallas_crop)
+            hm = model.apply(variables, (crops - mean01) / std01,
+                             train=False)
+            preds, maxvals, _ = decode_heatmaps_nhwc(hm, c, s)
+            m = picked[:, None, None]
+            return jnp.sum(jnp.where(m, preds, 0.0)) + \
+                jnp.sum(jnp.where(m[..., 0], maxvals, 0.0))
+
+        images = jnp.asarray(rng.rand(b, S, S, 3).astype(np.float32))
+        per_iter = min_of_3(
+            two_stage,
+            lambda c: (det_vars, variables, images, dmask, c))
+        two_ms[b] = round(per_iter * 1000, 3)
+
     # measurement floor: the same chained protocol on a null program.
     # Under the RPC tunnel, per-call dispatch costs several ms, so any
     # figure near this floor is an UPPER BOUND on true device latency,
@@ -362,6 +406,7 @@ def bench_latency(iters, warmup):
             "vs_baseline": None,
             "detail": {"pose_bf16_foldbn_ms_by_batch": pose_ms,
                        "faster_rcnn_bf16_ms_by_batch": det_ms,
+                       "two_stage_fused_bf16_ms_by_batch": two_ms,
                        "dispatch_floor_ms": floor_ms,
                        "note": "values within ~2x of dispatch_floor_ms "
                                "are bounded by per-call RPC dispatch, "
@@ -467,7 +512,8 @@ def bench_train(batch, iters, warmup, dtype="float32"):
                        "iters": iters, "loss": round(chk, 4)}}
 
 
-def bench_detector(batch, iters, warmup, dtype="float32", preset=None):
+def bench_detector(batch, iters, warmup, dtype="float32", preset=None,
+                   roi_mode=None, roi_patch_quant=None):
     """Faster R-CNN inference (fwd + proposals + heads + NMS) images/sec.
 
     dtype="bfloat16" benches the mixed-precision serving configuration
@@ -475,7 +521,9 @@ def bench_detector(batch, iters, warmup, dtype="float32", preset=None):
     preset="torchvision_parity" benches the AP-parity eval budgets
     (pre/post-NMS 1000/1000, 100 dets/img — the reference's torchvision
     defaults) so the cost of the parity configuration vs the serving
-    defaults is a measured number."""
+    defaults is a measured number. roi_mode/roi_patch_quant override the
+    RoIAlign DMA formulation / int8 patch pyramid (None = env/default),
+    so A/B runs share one process (CLAUDE.md one-JAX-process rule)."""
     jax = _setup()
     import jax.numpy as jnp
     from stlpose_tpu.models.faster_rcnn import (FasterRCNN,
@@ -483,8 +531,9 @@ def bench_detector(batch, iters, warmup, dtype="float32", preset=None):
 
     cfg = (FASTER_RCNN_TORCHVISION_PARITY
            if preset == "torchvision_parity" else None)
-    model = (FasterRCNN(cfg, dtype=jnp.dtype(dtype)) if cfg is not None
-             else FasterRCNN(dtype=jnp.dtype(dtype)))
+    kw = dict(dtype=jnp.dtype(dtype), roi_mode=roi_mode,
+              roi_patch_quant=roi_patch_quant)
+    model = FasterRCNN(cfg, **kw) if cfg is not None else FasterRCNN(**kw)
     S = model.config.image_size
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -504,12 +553,15 @@ def bench_detector(batch, iters, warmup, dtype="float32", preset=None):
     suffix = "" if dtype == "float32" else "_bf16"
     if preset:
         suffix += f"_{preset}"
+    if roi_patch_quant:
+        suffix += "_roi8"
     return {"metric": f"faster_rcnn_inference_throughput{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "images/sec/chip",
             "vs_baseline": None,
             "detail": {"batch": batch, "image_size": S, "dtype": dtype,
-                       "preset": preset,
+                       "preset": preset, "roi_mode": roi_mode,
+                       "roi_patch_quant": bool(roi_patch_quant),
                        "ms_per_iter": round(per_iter * 1000, 2),
                        "iters": iters, "checksum": round(chk, 2)}}
 

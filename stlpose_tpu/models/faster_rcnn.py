@@ -166,10 +166,15 @@ class FasterRCNNModule(nn.Module):
     ``pallas_roi`` statically routes RoIAlign to the fused Pallas kernel
     (ops/pallas_roi.py — one contiguous patch DMA per box + on-chip
     resampling; ~3x the XLA gather path on TPU). The facade resolves the
-    STLPOSE_PALLAS_ROI gate ONCE at construction (never under trace)."""
+    STLPOSE_PALLAS_ROI gate ONCE at construction (never under trace).
+    ``roi_patch_quant`` additionally quantizes the RoI patch pyramid to
+    int8 before the kernel's DMA stage (exact per-channel dequant after
+    pooling; see ops/pallas_roi.py) — a serving-throughput knob."""
     config: FasterRCNNConfig
     dtype: Any = jnp.float32
     pallas_roi: bool = False
+    roi_patch_quant: bool = False
+    roi_mode: str | None = None      # None -> ops.pallas_roi._ROI_MODE
 
     def setup(self):
         cfg = self.config
@@ -205,7 +210,8 @@ class FasterRCNNModule(nn.Module):
         if self.pallas_roi:
             pooled = multilevel_roi_align_pallas_batched(
                 [f for f in feats], boxes,
-                strides=self.config.strides[:len(feats)])
+                strides=self.config.strides[:len(feats)],
+                patch_quant=self.roi_patch_quant, mode=self.roi_mode)
         else:
             pooled = jax.vmap(
                 lambda fs, bx: multilevel_roi_align(
@@ -414,15 +420,25 @@ class FasterRCNN:
     """Detector facade: init/train-loss/predict as pure jit programs."""
 
     def __init__(self, config: FasterRCNNConfig = FasterRCNNConfig(),
-                 dtype=jnp.float32, pallas_roi: bool | None = None):
+                 dtype=jnp.float32, pallas_roi: bool | None = None,
+                 roi_patch_quant: bool | None = None,
+                 roi_mode: str | None = None):
+        import os
         from stlpose_tpu.ops.pallas_roi import use_pallas_roi
         self.config = config
         if pallas_roi is None:
             # resolved ONCE here, never under trace (env gate would
             # otherwise freeze at first jit trace — ADVICE r2 class)
             pallas_roi = use_pallas_roi()
+        if roi_patch_quant is None:
+            # int8 RoI patch pyramid (serving knob, default off; see
+            # ops/pallas_roi.py patch_quant): resolved once, same class
+            roi_patch_quant = (os.environ.get("STLPOSE_PALLAS_ROI_INT8")
+                               or "0") != "0"
         self.module = FasterRCNNModule(config=config, dtype=dtype,
-                                       pallas_roi=pallas_roi)
+                                       pallas_roi=pallas_roi,
+                                       roi_patch_quant=roi_patch_quant,
+                                       roi_mode=roi_mode)
         s = config.image_size
         shapes = []
         for stride in config.strides:

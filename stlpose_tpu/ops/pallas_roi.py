@@ -46,6 +46,14 @@ CHUNK = 512          # boxes per pallas_call: bounds SMEM prefetch size
 # Default ON; only an explicit "0" disables — empty string means unset
 # (ADVICE r4: an explicitly-empty var must keep the documented default).
 _F32_TIGHT = (os.environ.get("STLPOSE_PALLAS_ROI_F32_TIGHT") or "1") != "0"
+# DMA formulation (round 5): "pp" DMAs, per long-axis sample point, ONLY
+# its 2 bilinear tap columns — (SHORT_PAL, 2C) per point, ns DMAs per box
+# — instead of the full (SHORT_PAL, PAD*C) band ("band"): ~PAD/(2*ns) ≈
+# 3.7x less patch traffic on the dominant detector stage
+# (PROFILE_detector.md round-5 section). Hardware-validated bit-exact;
+# default "pp", STLPOSE_PALLAS_ROI_MODE=band restores the round-3/4
+# geometry.
+_ROI_MODE = (os.environ.get("STLPOSE_PALLAS_ROI_MODE") or "pp").lower()
 # Pallas-path patch budget: the short axis needs <= ~30 rows, but Mosaic
 # requires the DMA row offset to be sublane-tile aligned. The sublane
 # tile is DTYPE-dependent — 8 rows for f32, 16 for bf16 — so the origin
@@ -57,17 +65,25 @@ _F32_TIGHT = (os.environ.get("STLPOSE_PALLAS_ROI_F32_TIGHT") or "1") != "0"
 def _dma_geometry(dtype):
     """(ALIGN, SHORT_PAL) for the dtype's sublane tile.
 
-    The f32 sublane tile is 8 rows (bf16: 16), so f32 legally uses an
-    8-aligned 40-row window — ~17% less DMA per box. HARDWARE-VALIDATED
-    (scripts/validate_pallas_roi_hw.py on the v5e chip): bit-exact vs
-    the XLA path on every adversarial box regime incl. the far-edge
-    level-2 windows (the silent-zero bug class interpret mode cannot
-    catch), identical full-model predict checksum, and 248.7 -> 273.6
-    f32 imgs/s at B=16 (+10%, PROFILE_detector.md round-4 section).
-    Default ON for f32; STLPOSE_PALLAS_ROI_F32_TIGHT=0 restores the
-    shared 16/48 geometry. The env gate is resolved at import, never
-    under trace."""
-    if jnp.dtype(dtype).itemsize >= 4 and _F32_TIGHT:
+    The f32 sublane tile is 8 rows (bf16: 16, int8: 32), so f32 legally
+    uses an 8-aligned 40-row window — ~17% less DMA per box.
+    HARDWARE-VALIDATED (scripts/validate_pallas_roi_hw.py on the v5e
+    chip): bit-exact vs the XLA path on every adversarial box regime
+    incl. the far-edge level-2 windows (the silent-zero bug class
+    interpret mode cannot catch), identical full-model predict checksum,
+    and 248.7 -> 273.6 f32 imgs/s at B=16 (+10%, PROFILE_detector.md
+    round-4 section). Default ON for f32; STLPOSE_PALLAS_ROI_F32_TIGHT=0
+    restores the shared 16/48 geometry. The env gate is resolved at
+    import, never under trace.
+
+    int8 patches (``patch_quant``) pay a 32-row sublane tile: origin
+    aligns down to 32 and the 64-row window covers worst-case
+    misalignment (31 + the ~30-row short-axis budget). Still a net DMA
+    win: 64 int8 rows = 64 B/lane-col vs bf16's 48*2 = 96."""
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize == 1:
+        return 32, 64
+    if itemsize >= 4 and _F32_TIGHT:
         return 8, 40
     return 16, 48
 
@@ -147,12 +163,115 @@ def _roi_kernel(src_ref, os_ref, c0_ref, wlo_ref, whi_ref, ws_ref,
         stage(patch1, 1, patch0, 0)
 
 
+def _roi_kernel_pp(src_ref, os_ref, c0_ref, wlo_ref, whi_ref, ws_ref,
+                   pyr_ref, out_ref, patch0, patch1, lbuf, sem, *,
+                   n_boxes, ns, C, ALIGN, SHORT_PAL):
+    """Per-point DMA formulation: each of the ns long-axis sample points
+    DMAs ONLY its 2 bilinear tap columns — (SHORT_PAL, 2C) — instead of
+    the box's full (SHORT_PAL, PAD*C) band. ~PAD/(2*ns) less HBM traffic
+    on the dominant detector stage; the ns per-box matmuls collapse into
+    ONE (ns, SHORT_PAL) @ (SHORT_PAL, ns*C) MXU dot against the lerp
+    scratch. Interpolation semantics identical to _roi_kernel (the host
+    arithmetic is shared verbatim)."""
+    n = pl.program_id(0)
+
+    def dma(box, i, pref, slot):
+        # 2-D sliced HBM->VMEM copy: rows at the sublane-tile-aligned
+        # window origin, the point's 2 tap columns at lane offset c0*C
+        # (provably a C-multiple; C % 128 == 0 is checked by the caller)
+        return pltpu.make_async_copy(
+            pyr_ref.at[src_ref[box],
+                       pl.ds(pl.multiple_of(os_ref[box], ALIGN),
+                             SHORT_PAL),
+                       pl.ds(pl.multiple_of(c0_ref[box, i] * C, C),
+                             2 * C)],
+            pref.at[:, i * 2 * C:(i + 1) * 2 * C],
+            sem.at[slot, i])
+
+    def start_all(box, pref, slot):
+        for i in range(ns):
+            dma(box, i, pref, slot).start()
+
+    def stage(cur, cur_slot, nxt, nxt_slot):
+        @pl.when(n == 0)
+        def _():
+            start_all(0, cur, cur_slot)
+
+        @pl.when(n + 1 < n_boxes)
+        def _():
+            start_all(n + 1, nxt, nxt_slot)
+
+        ws = ws_ref[0]                               # (ns, SHORT_PAL)
+        for i in range(ns):
+            dma(n, i, cur, cur_slot).wait()
+            cols = cur[:, i * 2 * C:(i + 1) * 2 * C]   # (SHORT, 2C)
+            # int8 patches promote to f32 against the f32 SMEM weight
+            # exactly like bf16 ones do; the lerp result is stored in the
+            # COMPUTE dtype scratch (bf16 serving keeps bf16 precision,
+            # f32 keeps the bit-exactness contract)
+            L = (cols[:, :C] * wlo_ref[n, i] +
+                 cols[:, C:] * whi_ref[n, i])          # (SHORT, C)
+            lbuf[:, i * C:(i + 1) * C] = L.astype(lbuf.dtype)
+        prec = (jax.lax.Precision.HIGHEST
+                if ws.dtype == jnp.float32 else
+                jax.lax.Precision.DEFAULT)
+        out_ref[0] = jax.lax.dot_general(
+            ws, lbuf[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(out_ref.dtype)      # (ns, ns*C)
+
+    parity = jax.lax.rem(n, 2)
+
+    @pl.when(parity == 0)
+    def _():
+        stage(patch0, 0, patch1, 1)
+
+    @pl.when(parity == 1)
+    def _():
+        stage(patch1, 1, patch0, 0)
+
+
 def _roi_chunk_call(pyramid, src, o_s, c0, wlo, whi, ws, *, ns, PAD, C,
-                    interpret):
-    """One pallas_call over a CHUNK of boxes. Returns (N, ns_l, ns_s, C)."""
+                    interpret, mode="band"):
+    """One pallas_call over a CHUNK of boxes. Returns (N, ns_l, ns_s, C).
+
+    ``pyramid`` may be int8 (``patch_quant`` path) — patches are DMA'd in
+    the pyramid dtype while the lerp/matmul/output run in ``ws``'s
+    compute dtype."""
     N = src.shape[0]
-    dtype = pyramid.dtype
-    ALIGN, SHORT_PAL = _dma_geometry(dtype)
+    pdtype = pyramid.dtype
+    cdtype = ws.dtype
+    ALIGN, SHORT_PAL = _dma_geometry(pdtype)
+    if mode == "pp":
+        kernel = functools.partial(_roi_kernel_pp, n_boxes=N, ns=ns, C=C,
+                                   ALIGN=ALIGN, SHORT_PAL=SHORT_PAL)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,       # src, o_s, c0, wlo, whi
+                grid=(N,),
+                in_specs=[
+                    pl.BlockSpec((1, ns, SHORT_PAL),
+                                 lambda n, *_: (n, 0, 0)),   # Ws per box
+                    pl.BlockSpec(memory_space=pl.ANY),       # pyramid HBM
+                ],
+                out_specs=pl.BlockSpec((1, ns, ns * C),
+                                       lambda n, *_: (n, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((SHORT_PAL, ns * 2 * C), pdtype),
+                    pltpu.VMEM((SHORT_PAL, ns * 2 * C), pdtype),
+                    pltpu.VMEM((SHORT_PAL, ns * C), cdtype),
+                    pltpu.SemaphoreType.DMA((2, ns)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((N, ns, ns * C), cdtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(src, o_s, c0, wlo, whi, ws, pyramid)
+        return out.reshape(N, ns, ns, C)
+    if mode != "band":
+        raise ValueError(f"unknown RoI DMA mode {mode!r}")
     kernel = functools.partial(_roi_kernel, n_boxes=N, ns=ns, PAD=PAD, C=C,
                                ALIGN=ALIGN, SHORT_PAL=SHORT_PAL)
     return pl.pallas_call(
@@ -168,12 +287,12 @@ def _roi_chunk_call(pyramid, src, o_s, c0, wlo, whi, ws, *, ns, PAD, C,
             out_specs=pl.BlockSpec((1, ns, ns, C),
                                    lambda n, *_: (n, 0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((SHORT_PAL, PAD * C), dtype),
-                pltpu.VMEM((SHORT_PAL, PAD * C), dtype),
+                pltpu.VMEM((SHORT_PAL, PAD * C), pdtype),
+                pltpu.VMEM((SHORT_PAL, PAD * C), pdtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((N, ns, ns, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((N, ns, ns, C), cdtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -185,13 +304,15 @@ def multilevel_roi_align_pallas(feature_levels, boxes, strides,
                                 sampling_ratio: int = 2,
                                 canonical_scale: float = 224.0,
                                 canonical_level: int = 4,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                mode: str | None = None,
+                                patch_quant: bool = False):
     """Drop-in replacement for ops.roi_align.multilevel_roi_align (one
     image) — see multilevel_roi_align_pallas_batched."""
     out = multilevel_roi_align_pallas_batched(
         [f[None] for f in feature_levels], boxes[None], strides,
         output_size, sampling_ratio, canonical_scale, canonical_level,
-        interpret=interpret)
+        interpret=interpret, mode=mode, patch_quant=patch_quant)
     return out[0]
 
 
@@ -200,7 +321,9 @@ def multilevel_roi_align_pallas_batched(feature_levels, boxes, strides,
                                         sampling_ratio: int = 2,
                                         canonical_scale: float = 224.0,
                                         canonical_level: int = 4,
-                                        interpret: bool = False):
+                                        interpret: bool = False,
+                                        mode: str | None = None,
+                                        patch_quant: bool = False):
     """Batched fused RoIAlign: ``feature_levels`` are per-level
     (B, h, w, C) maps, ``boxes`` is (B, P, 4); returns (B, P, n, n, C).
 
@@ -208,13 +331,29 @@ def multilevel_roi_align_pallas_batched(feature_levels, boxes, strides,
     index encodes (image, level, orientation), so no vmap-of-pallas is
     needed and the double-buffered DMA pipeline spans the whole batch.
     Index/weight arithmetic is identical to
-    ops/roi_align.py::multilevel_roi_align."""
+    ops/roi_align.py::multilevel_roi_align.
+
+    ``mode``: "pp" (default, STLPOSE_PALLAS_ROI_MODE overrides) DMAs per
+    sample point only the 2 tap columns; "band" DMAs the full padded
+    band per box (round-3/4 geometry).
+
+    ``patch_quant``: quantize the patch pyramid to int8 with dynamic
+    per-(level, channel) symmetric scales before the DMA stage. RoIAlign
+    is linear per channel and every tap of a box comes from ONE level,
+    so dequantization is EXACT as a single post-pooling multiply by the
+    box-level's channel scales — the only approximation is the int8
+    rounding of the features themselves (bounded at absmax/254 per
+    channel). Halves (vs bf16; 2.5x vs f32) the dominant per-box DMA.
+    Serving knob — accuracy-bounded by tests/test_detector_bf16_accuracy
+    style instruments; NOT the AP-parity configuration."""
     L = len(feature_levels)
     B, P = boxes.shape[:2]
     C = feature_levels[0].shape[-1]
     n, sr = output_size, sampling_ratio
     ns = n * sr
     dtype = feature_levels[0].dtype
+    if mode is None:
+        mode = _ROI_MODE
     maxHW = max(max(f.shape[1], f.shape[2]) for f in feature_levels)
     PAD = max(2 * SHORT_EXTENT, -(-maxHW // 8) * 8)
     coarse_min = min(feature_levels[-1].shape[1],
@@ -226,17 +365,31 @@ def multilevel_roi_align_pallas_batched(feature_levels, boxes, strides,
     if C % 128 != 0 and not interpret:
         # the kernel's lane-offset trick needs C to be a lane-tile
         # multiple; thin test configs take the XLA path instead
+        # (patch_quant is a no-op here — the fallback stays exact)
         from stlpose_tpu.ops.roi_align import multilevel_roi_align
         return jax.vmap(
             lambda fs, bx: multilevel_roi_align(
                 list(fs), bx, strides, output_size, sampling_ratio,
                 canonical_scale, canonical_level))(
             tuple(feature_levels), boxes)
+    scale_arr = None
+    if patch_quant:
+        # dynamic symmetric per-(level, channel) scales over the whole
+        # batch; the division runs in f32 so bf16 features do not lose
+        # rounding-boundary precision on the way into int8
+        scales = [jnp.maximum(jnp.abs(f.astype(jnp.float32))
+                              .max(axis=(0, 1, 2)), 1e-8) / 127.0
+                  for f in feature_levels]
+        feature_levels = [
+            jnp.clip(jnp.round(f.astype(jnp.float32) / s), -127, 127)
+            .astype(jnp.int8)
+            for f, s in zip(feature_levels, scales)]
+        scale_arr = jnp.stack(scales)                        # (L, C) f32
     # Rows get ONE extra ALIGN of zero padding: near the far edge of the
     # largest map there is otherwise NO tile-aligned SHORT_PAL-row window
     # that both covers the box's short-axis rows and stays inside PAD rows
     # (the bug class every level-2 edge box hit on first hardware run).
-    ALIGN, SHORT_PAL = _dma_geometry(dtype)
+    ALIGN, SHORT_PAL = _dma_geometry(feature_levels[0].dtype)
     PAD_ROWS = PAD + ALIGN
     # (B, 2L, PAD_ROWS, PAD, C): levels then their transposed copies
     normal = jnp.stack([
@@ -315,7 +468,8 @@ def multilevel_roi_align_pallas_batched(feature_levels, boxes, strides,
     def one_chunk(args):
         s, o, c, lo, hi, w = args
         return _roi_chunk_call(pyramid, s, o, c, lo, hi, w, ns=ns,
-                               PAD=PAD, C=C, interpret=interpret)
+                               PAD=PAD, C=C, interpret=interpret,
+                               mode=mode)
 
     chunked = jax.lax.map(one_chunk, (
         src.reshape(n_chunks, chunk),
@@ -325,9 +479,18 @@ def multilevel_roi_align_pallas_batched(feature_levels, boxes, strides,
         whi.reshape(n_chunks, chunk, ns),
         Ws.reshape(n_chunks, chunk, ns, SHORT_PAL)))
     out_lm = chunked.reshape(n_chunks * chunk, ns, ns, C)[:PT]
-    # kernel emits (PT, ns_long, ns_short, C); downstream expects
-    # (PT, ns_short, ns_long, C)
-    out = jnp.swapaxes(out_lm, 1, 2)
+    # the band kernel emits (PT, ns_long, ns_short, C) and downstream
+    # expects (PT, ns_short, ns_long, C); the pp kernel's fused dot
+    # already emits short-major (its dot LHS is the short-axis Ws)
+    out = out_lm if mode == "pp" else jnp.swapaxes(out_lm, 1, 2)
     out = out.reshape(PT, n, sr, n, sr, C).mean(axis=(2, 4))
     out = jnp.where(w3[..., None], out, jnp.swapaxes(out, 1, 2))
+    if scale_arr is not None:
+        # exact per-channel dequantization: every tap of box b came from
+        # level li[b], and RoIAlign is linear per channel, so one
+        # post-pooling multiply by that level's channel scales undoes the
+        # int8 scaling (channel-scale/orientation commute: the transposed
+        # pyramid half shares the same scales)
+        out = (out.astype(jnp.float32) *
+               scale_arr[li][:, None, None, :])
     return out.astype(dtype).reshape(B, P, n, n, C)

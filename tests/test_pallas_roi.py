@@ -28,13 +28,14 @@ def _random_boxes(rng, P, img):
     return jnp.asarray(np.stack([x1, y1, x2, y2], -1), jnp.float32)
 
 
-def test_random_boxes_match_xla_and_reference():
+@pytest.mark.parametrize("mode", ["band", "pp"])
+def test_random_boxes_match_xla_and_reference(mode):
     rng = np.random.RandomState(0)
     img = 256
     feats = _pyramid(rng, img)
     boxes = _random_boxes(rng, 40, img)
     out = multilevel_roi_align_pallas(feats, boxes, STRIDES,
-                                      interpret=True)
+                                      interpret=True, mode=mode)
     xla = multilevel_roi_align(feats, boxes, STRIDES)
     np.testing.assert_allclose(np.asarray(out), np.asarray(xla),
                                atol=1e-4, rtol=1e-4)
@@ -119,6 +120,86 @@ def test_shard_map_predict_matches_gspmd():
     b = {k: np.asarray(v) for k, v in p_smap(state, imgs).items()}
     for k in a:
         np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=k)
+
+
+def _all_regimes(rng, img, C=24):
+    """(feats, dict of box regimes) covering random / extreme-aspect /
+    far-edge / chunk-boundary — the same adversarial set the hardware
+    validation script uses."""
+    feats = [jnp.asarray(
+        rng.randn((img + s - 1) // s, (img + s - 1) // s, C)
+        .astype(np.float32)) for s in STRIDES]
+    return feats, {
+        "random": _random_boxes(rng, 40, img),
+        "extreme": jnp.asarray([
+            [0.0, 0.0, img - 1.0, 10.0],
+            [img - 20.0, 0.0, float(img), float(img)],
+            [0.0, 0.0, float(img), float(img)],
+            [0.0, 100.0, float(img), 130.0],
+            [10.0, 10.0, 11.0, 11.0],
+            [5.0, 5.0, 5.0, 5.0],
+        ], jnp.float32),
+        "far_edge": jnp.asarray([
+            [img - 30.0, img * 0.6, float(img), img * 0.75],
+            [img * 0.4, img - 10.0, img * 0.7, float(img)],
+            [img - 10.0, img - 10.0, float(img), float(img)],
+        ], jnp.float32),
+        "chunk_13": _random_boxes(rng, 13, img),
+    }
+
+
+def test_pp_mode_matches_xla():
+    """The per-point-DMA formulation ("pp": ns small (SHORT, 2C) copies
+    per box + one fused MXU dot) must agree with the XLA formulation on
+    every adversarial regime, like the band kernel does."""
+    rng = np.random.RandomState(7)
+    feats, regimes = _all_regimes(rng, 400)
+    for name, boxes in regimes.items():
+        out = multilevel_roi_align_pallas(feats, boxes, STRIDES,
+                                          interpret=True, mode="pp")
+        ref = multilevel_roi_align(feats, boxes, STRIDES)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("mode", ["band", "pp"])
+def test_patch_quant_matches_dequantized_oracle(mode):
+    """int8 patch pyramid: the kernel's post-pooling per-channel dequant
+    must EXACTLY equal RoIAlign run on host-dequantized features (the
+    only error is the int8 rounding of the features themselves, which
+    the oracle shares)."""
+    rng = np.random.RandomState(11)
+    feats, regimes = _all_regimes(rng, 256)
+    # host oracle: identical quantize/dequantize, then the exact path
+    deq = []
+    for f in feats:
+        s = jnp.maximum(jnp.abs(f.astype(jnp.float32)).max(axis=(0, 1)),
+                        1e-8) / 127.0
+        q = jnp.clip(jnp.round(f.astype(jnp.float32) / s), -127, 127)
+        deq.append((q * s).astype(f.dtype))
+    for name, boxes in regimes.items():
+        out = multilevel_roi_align_pallas(feats, boxes, STRIDES,
+                                          interpret=True, mode=mode,
+                                          patch_quant=True)
+        ref = multilevel_roi_align(deq, boxes, STRIDES)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+def test_patch_quant_rounding_error_is_bounded():
+    """The int8 feature rounding itself must stay within the analytic
+    half-step bound relative to the unquantized output."""
+    rng = np.random.RandomState(13)
+    feats, _ = _all_regimes(rng, 256)
+    boxes = _random_boxes(rng, 64, 256)
+    out_q = multilevel_roi_align_pallas(feats, boxes, STRIDES,
+                                        interpret=True, mode="pp",
+                                        patch_quant=True)
+    out = multilevel_roi_align(feats, boxes, STRIDES)
+    # per-channel bound: half an int8 step of that channel's absmax
+    half_step = max(float(jnp.abs(f).max()) for f in feats) / 254.0
+    err = float(jnp.abs(out_q - out).max())
+    assert err <= half_step * 1.01, (err, half_step)
 
 
 def test_chunk_boundary_padding():
