@@ -896,6 +896,9 @@ def main():
     ap.add_argument("--preset", default=None,
                     choices=[None, "torchvision_parity"],
                     help="detector config preset for --mode detector")
+    ap.add_argument("--roi-quant", action="store_true",
+                    help="int8 RoI patch pyramid for --mode detector "
+                         "(ops/pallas_roi.py patch_quant serving knob)")
     ap.add_argument("--detector-family", default="faster_rcnn",
                     choices=["faster_rcnn", "efficientdet"],
                     help="detector stage for --mode twostage_compact")
@@ -920,7 +923,8 @@ def main():
     elif args.mode == "detector":
         result = bench_detector(min(args.batch, 16), args.iters,
                                 args.warmup, dtype=args.dtype,
-                                preset=args.preset)
+                                preset=args.preset,
+                                roi_patch_quant=args.roi_quant or None)
     elif args.mode == "efficientdet":
         result = bench_efficientdet(min(args.batch, 16), args.iters,
                                     args.warmup, compound=args.compound,

@@ -42,19 +42,30 @@ def save_checkpoint(state: PoseTrainState, exp_path: str, epoch,
                     scheduler=None, detector: bool = False,
                     finished: bool = False):
     """Save the bundle; `epoch='final'` or finished=True writes the final
-    checkpoint name (reference: lib/model_setup.py:162-207)."""
+    checkpoint name (reference: lib/model_setup.py:162-207).
+
+    Multi-process: Orbax's save is a COLLECTIVE — under multi-host JAX
+    every process must call this (tests/test_distributed.py proves the
+    2-process round trip). The state is device_get to host first, so the
+    written bundle is topology-free: a checkpoint saved from an N-device
+    mesh restores onto any other topology (the live replacement for the
+    reference's dead cross-process merge(),
+    lib/detection_coco_eval.py:165-196). Only process 0 writes the meta
+    sidecar."""
     label = "final" if (finished or epoch == "final") else epoch
     path = checkpoint_path(exp_path, label, detector)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.abspath(path) + ".orbax",
                    jax.device_get(state), force=True)
-    meta = {
-        "epoch": int(epoch) if not isinstance(epoch, str) else epoch,
-        "lr": _maybe_lr(state),
-        "scheduler": scheduler.state_dict() if scheduler is not None else None,
-    }
-    with open(path + ".meta.json", "w") as f:
-        json.dump(meta, f)
+    if jax.process_index() == 0:
+        meta = {
+            "epoch": int(epoch) if not isinstance(epoch, str) else epoch,
+            "lr": _maybe_lr(state),
+            "scheduler": (scheduler.state_dict()
+                          if scheduler is not None else None),
+        }
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
     return path
 
 
