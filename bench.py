@@ -513,7 +513,7 @@ def bench_train(batch, iters, warmup, dtype="float32"):
 
 
 def bench_detector(batch, iters, warmup, dtype="float32", preset=None,
-                   roi_mode=None, roi_patch_quant=None):
+                   roi_mode=None, roi_patch_quant=None, trunk_quant=None):
     """Faster R-CNN inference (fwd + proposals + heads + NMS) images/sec.
 
     dtype="bfloat16" benches the mixed-precision serving configuration
@@ -523,7 +523,11 @@ def bench_detector(batch, iters, warmup, dtype="float32", preset=None,
     defaults) so the cost of the parity configuration vs the serving
     defaults is a measured number. roi_mode/roi_patch_quant override the
     RoIAlign DMA formulation / int8 patch pyramid (None = env/default),
-    so A/B runs share one process (CLAUDE.md one-JAX-process rule)."""
+    so A/B runs share one process (CLAUDE.md one-JAX-process rule).
+    trunk_quant benches the ResNet-trunk serving flavors
+    ("folded"/"int8"/"int8u" — models/quantize.py::quantize_frcnn_trunk;
+    calibration runs on a random batch since scale VALUES don't change
+    the timed program)."""
     jax = _setup()
     import jax.numpy as jnp
     from stlpose_tpu.models.faster_rcnn import (FasterRCNN,
@@ -531,13 +535,36 @@ def bench_detector(batch, iters, warmup, dtype="float32", preset=None,
 
     cfg = (FASTER_RCNN_TORCHVISION_PARITY
            if preset == "torchvision_parity" else None)
+    if cfg is None and os.environ.get("STLPOSE_BENCH_TINY"):
+        # CPU smoke of the bench plumbing itself (full-size programs are
+        # impractical on the 1-vCPU host); never set on real measurements
+        from stlpose_tpu.models.faster_rcnn import FASTER_RCNN_TINY
+        cfg = FASTER_RCNN_TINY
     kw = dict(dtype=jnp.dtype(dtype), roi_mode=roi_mode,
-              roi_patch_quant=roi_patch_quant)
+              roi_patch_quant=roi_patch_quant, trunk_quant=trunk_quant)
     model = FasterRCNN(cfg, **kw) if cfg is not None else FasterRCNN(**kw)
     S = model.config.image_size
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        variables = model.init(jax.random.PRNGKey(0))
+    if trunk_quant and trunk_quant != "none":
+        from stlpose_tpu.models.quantize import (fold_frcnn_trunk,
+                                                 quantize_frcnn_trunk)
+        live = (FasterRCNN(cfg, dtype=jnp.dtype(dtype))
+                if cfg is not None else FasterRCNN(dtype=jnp.dtype(dtype)))
+        rng0 = np.random.RandomState(7)
+        with jax.default_device(cpu):
+            raw = live.init(jax.random.PRNGKey(0))
+            if trunk_quant == "folded":
+                variables = fold_frcnn_trunk(raw)
+            else:
+                variables = quantize_frcnn_trunk(
+                    model.config, raw,
+                    [rng0.rand(2, S, S, 3).astype(np.float32)],
+                    dtype=jnp.dtype(dtype),
+                    act_scheme=("signed" if trunk_quant == "int8"
+                                else "unsigned"))
+    else:
+        with jax.default_device(cpu):
+            variables = model.init(jax.random.PRNGKey(0))
     variables = jax.device_put(variables, jax.devices()[0])
 
     @jax.jit
@@ -555,6 +582,8 @@ def bench_detector(batch, iters, warmup, dtype="float32", preset=None,
         suffix += f"_{preset}"
     if roi_patch_quant:
         suffix += "_roi8"
+    if trunk_quant and trunk_quant != "none":
+        suffix += f"_trunk_{trunk_quant}"
     return {"metric": f"faster_rcnn_inference_throughput{suffix}",
             "value": round(batch / per_iter, 1),
             "unit": "images/sec/chip",
@@ -562,6 +591,7 @@ def bench_detector(batch, iters, warmup, dtype="float32", preset=None,
             "detail": {"batch": batch, "image_size": S, "dtype": dtype,
                        "preset": preset, "roi_mode": roi_mode,
                        "roi_patch_quant": bool(roi_patch_quant),
+                       "trunk_quant": trunk_quant,
                        "ms_per_iter": round(per_iter * 1000, 2),
                        "iters": iters, "checksum": round(chk, 2)}}
 
@@ -713,14 +743,16 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
 
 def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
                             max_density=3, dets_per_img=16,
-                            family="faster_rcnn"):
+                            family="faster_rcnn", trunk_quant=None,
+                            roi_patch_quant=None):
     """Two-stage pipeline with CROSS-BATCH crop compaction at realistic
     detection densities (artwork scenes average 1-3 persons/image): the
     valid detections of the whole image batch are gathered into ONE dense
     crop batch (static budget) before the pose forward, instead of padding
     every image to dets_per_img crops. Engine counterpart:
     engines/vase_evaluator.py::process_images. ``family`` picks the
-    detector stage (faster_rcnn | efficientdet)."""
+    detector stage (faster_rcnn | efficientdet); ``trunk_quant`` the
+    faster_rcnn ResNet-trunk serving flavor (see bench_detector)."""
     jax = _setup()
     import jax.numpy as jnp
     from stlpose_tpu.ops.affine import coords_to_center_scale
@@ -729,16 +761,42 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
     from stlpose_tpu.ops.warp import crop_from_center_scale_batched
 
     pallas_crop = use_pallas_warp()
+    cpu = jax.devices("cpu")[0]
     if family == "efficientdet":
         from stlpose_tpu.models.efficientdet import EfficientDet
         det = EfficientDet(dtype=jnp.dtype(dtype))
+        with jax.default_device(cpu):
+            det_vars = det.init(jax.random.PRNGKey(0))
     else:
-        from stlpose_tpu.models.faster_rcnn import FasterRCNN
-        det = FasterRCNN(dtype=jnp.dtype(dtype))
+        from stlpose_tpu.models.faster_rcnn import (FASTER_RCNN_TINY,
+                                                    FasterRCNN)
+        dkw = dict(dtype=jnp.dtype(dtype), trunk_quant=trunk_quant,
+                   roi_patch_quant=roi_patch_quant)
+        if os.environ.get("STLPOSE_BENCH_TINY"):
+            det = FasterRCNN(FASTER_RCNN_TINY, **dkw)
+        else:
+            det = FasterRCNN(**dkw)
+        if trunk_quant and trunk_quant != "none":
+            from stlpose_tpu.models.quantize import (fold_frcnn_trunk,
+                                                     quantize_frcnn_trunk)
+            live = FasterRCNN(det.config, dtype=jnp.dtype(dtype))
+            Sq = det.config.image_size
+            with jax.default_device(cpu):
+                raw = live.init(jax.random.PRNGKey(0))
+                if trunk_quant == "folded":
+                    det_vars = fold_frcnn_trunk(raw)
+                else:
+                    det_vars = quantize_frcnn_trunk(
+                        det.config, raw,
+                        [np.random.RandomState(7).rand(
+                            2, Sq, Sq, 3).astype(np.float32)],
+                        dtype=jnp.dtype(dtype),
+                        act_scheme=("signed" if trunk_quant == "int8"
+                                    else "unsigned"))
+        else:
+            with jax.default_device(cpu):
+                det_vars = det.init(jax.random.PRNGKey(0))
     S = det.config.image_size
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        det_vars = det.init(jax.random.PRNGKey(0))
     det_vars = jax.device_put(det_vars, jax.devices()[0])
 
     pose, _, pose_vars, mean255, std255 = _folded_pose_setup(jax)
@@ -750,7 +808,10 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
     # detection slots are masked out before compaction
     rng = np.random.RandomState(0)
     n_per_img = rng.randint(1, max_density + 1, size=batch)
-    D = dets_per_img
+    # clamp to the detector's actual per-image detection slots (the tiny
+    # smoke config pads fewer than the default 16)
+    D = min(dets_per_img, int(getattr(det.config, "detections_per_img",
+                                      dets_per_img)))
     density_mask = (np.arange(D)[None, :] < n_per_img[:, None])
     budget = int(-(-int(n_per_img.sum()) // 8) * 8)   # static, 8-aligned
 
@@ -791,6 +852,10 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
         iters, warmup)
     suffix = "" if dtype == "float32" else "_bf16"
     fam = "" if family == "faster_rcnn" else f"_{family}"
+    if roi_patch_quant:
+        suffix += "_roi8"
+    if trunk_quant and trunk_quant != "none":
+        suffix += f"_trunk_{trunk_quant}"
     # don't clobber the documented reference entries (B=8 frcnn / 16 eff)
     if batch != (16 if family == "efficientdet" else 8):
         suffix = f"{suffix}_b{batch}"
@@ -801,6 +866,8 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
             "detail": {"batch": batch, "crop_budget": budget,
                        "mean_density": round(float(n_per_img.mean()), 2),
                        "detector_family": family, "detector_dtype": dtype,
+                       "trunk_quant": trunk_quant,
+                       "roi_patch_quant": bool(roi_patch_quant),
                        "ms_per_iter": round(per_iter * 1000, 2),
                        "iters": iters, "checksum": round(chk, 2)}}
 
@@ -899,6 +966,10 @@ def main():
     ap.add_argument("--roi-quant", action="store_true",
                     help="int8 RoI patch pyramid for --mode detector "
                          "(ops/pallas_roi.py patch_quant serving knob)")
+    ap.add_argument("--trunk-quant", default=None,
+                    choices=[None, "folded", "int8", "int8u"],
+                    help="ResNet-trunk serving flavor for --mode detector "
+                         "(models/quantize.py::quantize_frcnn_trunk)")
     ap.add_argument("--detector-family", default="faster_rcnn",
                     choices=["faster_rcnn", "efficientdet"],
                     help="detector stage for --mode twostage_compact")
@@ -924,7 +995,8 @@ def main():
         result = bench_detector(min(args.batch, 16), args.iters,
                                 args.warmup, dtype=args.dtype,
                                 preset=args.preset,
-                                roi_patch_quant=args.roi_quant or None)
+                                roi_patch_quant=args.roi_quant or None,
+                                trunk_quant=args.trunk_quant)
     elif args.mode == "efficientdet":
         result = bench_efficientdet(min(args.batch, 16), args.iters,
                                     args.warmup, compound=args.compound,
@@ -942,7 +1014,8 @@ def main():
         result = bench_two_stage_compact(min(args.batch, 128), args.iters,
                                          args.warmup, dtype=args.dtype,
                                          dets_per_img=args.dets_per_img,
-                                         family=args.detector_family)
+                                         family=args.detector_family,
+                                         trunk_quant=args.trunk_quant)
     elif args.mode == "serving":
         result = bench_serving(args.batch, args.iters, args.warmup)
     elif args.mode == "detector_serving":

@@ -44,11 +44,13 @@ def main():
                     help="output dir (default <exp>/serving_export)")
     ap.add_argument("--platforms", default="tpu,cpu")
     ap.add_argument("--pipeline", default="pose",
-                    choices=["pose", "two_stage"],
+                    choices=["pose", "two_stage", "detector"],
                     help="two_stage additionally loads the experiment's "
                          "detector (STLPOSE_DETECTOR_CONFIG / "
                          "--detector_checkpoint) and exports the fused "
-                         "detector->crops->pose program")
+                         "detector->crops->pose program; detector exports "
+                         "the detector stage alone (boxes/scores/labels/"
+                         "valid), with optional --trunk_quant flavors")
     ap.add_argument("--detector_checkpoint", default=None)
     ap.add_argument("--batch", type=int, default=8,
                     help="static batch of a two_stage export")
@@ -76,6 +78,18 @@ def main():
                          "bounds tests/test_int8_accuracy.py; caveat "
                          "recorded in the manifest); needs "
                          "--calib_images")
+    ap.add_argument("--trunk_quant", default="none", nargs="?",
+                    const="int8",
+                    choices=["none", "folded", "int8", "int8u"],
+                    help="detector (faster_rcnn): ResNet-trunk serving "
+                         "flavor — folded bakes BN into the convs; int8 "
+                         "(the default when given bare: the trunk's fat "
+                         "256..2048-channel convs are the shape where the "
+                         "int8 MXU path pays, unlike HRNet) / int8u "
+                         "additionally bake the PTQ bottlenecks and need "
+                         "--calib_images (models/quantize.py::"
+                         "quantize_frcnn_trunk; accuracy bounds "
+                         "tests/test_trunk_quant.py)")
     ap.add_argument("--calib_images", default=None,
                     help="directory of images (or a .npy of uint8 "
                          "(N,H,W,3) crops) used to calibrate int8 "
@@ -109,7 +123,38 @@ def main():
     out_dir = args.out or os.path.join(exp_path, "serving_export")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     platforms = tuple(args.platforms.split(","))
-    if args.pipeline == "two_stage":
+    if args.pipeline == "detector":
+        from stlpose_tpu.engines.detector_trainer import (
+            build_detector, _DetectorModelShim)
+        from stlpose_tpu.serving import export_detector_server
+
+        detector, det_cfg = build_detector(
+            exp_data, os.environ.get("STLPOSE_DETECTOR_CONFIG"))
+        det_state, _ = create_train_state(
+            _DetectorModelShim(detector), exp_data,
+            jax.random.PRNGKey(CONFIG["random_seed"]), (1,))
+        if args.detector_checkpoint is not None:
+            det_state, _ = load_checkpoint(
+                det_state, exp_path, args.detector_checkpoint,
+                detector=True, only_model=True)
+        family = ("efficientdet" if "efficientdet" in
+                  type(detector).__name__.lower() else "faster_rcnn")
+        calib = None
+        if args.trunk_quant in ("int8", "int8u"):
+            if args.calib_images is None:
+                ap.error(f"--trunk_quant {args.trunk_quant} requires "
+                         "--calib_images")
+            S = det_cfg.image_size
+            # detector predict convention: 0-1 floats (data/pipeline.py)
+            calib = [_load_calib_crops(args.calib_images, (S, S),
+                                       args.calib_count)
+                     .astype("float32") / 255.0]
+        export_detector_server(
+            det_state.variables(), out_dir, family=family,
+            config=det_cfg, static_batch=args.batch,
+            platforms=platforms, image_dtype=args.image_dtype,
+            trunk_quant=args.trunk_quant, calib_batches=calib)
+    elif args.pipeline == "two_stage":
         from stlpose_tpu.engines.detector_trainer import (
             build_detector, _DetectorModelShim)
         from stlpose_tpu.serving.export import export_two_stage_server

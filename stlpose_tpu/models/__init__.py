@@ -8,5 +8,7 @@ Python control flow under jit.
 from stlpose_tpu.models.hrnet import (PoseHighResolutionNet, create_hrnet,
                                       fold_batchnorms,
                                       fold_input_normalization)
-from stlpose_tpu.models.quantize import (calibrate_hrnet, quantize_hrnet,
+from stlpose_tpu.models.quantize import (calibrate_hrnet, fold_frcnn_trunk,
+                                         quantize_frcnn_trunk,
+                                         quantize_hrnet,
                                          quantize_hrnet_from_batches)

@@ -169,17 +169,27 @@ class FasterRCNNModule(nn.Module):
     STLPOSE_PALLAS_ROI gate ONCE at construction (never under trace).
     ``roi_patch_quant`` additionally quantizes the RoI patch pyramid to
     int8 before the kernel's DMA stage (exact per-channel dequant after
-    pooling; see ops/pallas_roi.py) — a serving-throughput knob."""
+    pooling; see ops/pallas_roi.py) — a serving-throughput knob.
+
+    ``trunk_folded``/``trunk_quant`` select the serving trunk flavor: BN
+    folded into the ResNet convs (``fold_frcnn_trunk``) and optionally the
+    int8 PTQ bottlenecks (``quantize_frcnn_trunk`` — the trunk's fat
+    256..2048-channel convs are the shape where the v5e int8 MXU path
+    pays, unlike HRNet's thin branches). Serving-only: training requires
+    the live-BN graph."""
     config: FasterRCNNConfig
     dtype: Any = jnp.float32
     pallas_roi: bool = False
     roi_patch_quant: bool = False
     roi_mode: str | None = None      # None -> ops.pallas_roi._ROI_MODE
+    trunk_folded: bool = False
+    trunk_quant: str = "none"
 
     def setup(self):
         cfg = self.config
         self.backbone = ResNet(stage_sizes=cfg.stage_sizes, width=cfg.width,
-                               dtype=self.dtype)
+                               dtype=self.dtype, folded=self.trunk_folded,
+                               quant=self.trunk_quant)
         self.fpn = FPN(channels=cfg.fpn_channels, dtype=self.dtype)
         self.rpn_head = RPNHead(num_anchors=len(cfg.anchor_ratios),
                                 dtype=self.dtype)
@@ -422,7 +432,8 @@ class FasterRCNN:
     def __init__(self, config: FasterRCNNConfig = FasterRCNNConfig(),
                  dtype=jnp.float32, pallas_roi: bool | None = None,
                  roi_patch_quant: bool | None = None,
-                 roi_mode: str | None = None):
+                 roi_mode: str | None = None,
+                 trunk_quant: str | None = None):
         import os
         from stlpose_tpu.ops.pallas_roi import use_pallas_roi
         self.config = config
@@ -435,10 +446,21 @@ class FasterRCNN:
             # ops/pallas_roi.py patch_quant): resolved once, same class
             roi_patch_quant = (os.environ.get("STLPOSE_PALLAS_ROI_INT8")
                                or "0") != "0"
-        self.module = FasterRCNNModule(config=config, dtype=dtype,
-                                       pallas_roi=pallas_roi,
-                                       roi_patch_quant=roi_patch_quant,
-                                       roi_mode=roi_mode)
+        if trunk_quant is None:
+            # serving trunk flavor: "folded" (BN-folded f32/bf16 convs) or
+            # "int8"/"int8u" (PTQ bottlenecks; variables must come from
+            # quantize.quantize_frcnn_trunk). Same resolve-once rule.
+            trunk_quant = (os.environ.get("STLPOSE_FRCNN_TRUNK_QUANT")
+                           or "none")
+        if trunk_quant not in ("none", "folded", "int8", "int8u"):
+            raise ValueError(f"unknown trunk_quant {trunk_quant!r}")
+        self.trunk_quant = trunk_quant
+        self.module = FasterRCNNModule(
+            config=config, dtype=dtype, pallas_roi=pallas_roi,
+            roi_patch_quant=roi_patch_quant, roi_mode=roi_mode,
+            trunk_folded=(trunk_quant != "none"),
+            trunk_quant=("none" if trunk_quant == "folded"
+                         else trunk_quant))
         s = config.image_size
         shapes = []
         for stride in config.strides:
@@ -462,6 +484,11 @@ class FasterRCNN:
         {image (N,S,S,3), boxes (N,K,4), labels (N,K), box_mask (N,K)}.
         Mirrors the torchvision loss dict the reference sums
         (02_train_faster_rcnn.py:212-213)."""
+        if self.trunk_quant != "none":
+            raise ValueError(
+                "training requires the live-BN trunk; construct "
+                "FasterRCNN(trunk_quant=None) for loss_fn "
+                f"(got trunk_quant={self.trunk_quant!r})")
         cfg = self.config
         images = batch["image"]
         N = images.shape[0]

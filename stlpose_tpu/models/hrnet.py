@@ -368,18 +368,28 @@ def fold_batchnorms(variables, epsilon: float = 1e-5):
     """
     import numpy as np
 
+    def fold_pair(conv_p, bn_p, bn_s):
+        W = np.asarray(conv_p["kernel"], np.float64)
+        scale = np.asarray(bn_p["scale"], np.float64)
+        bias = np.asarray(bn_p["bias"], np.float64)
+        mu = np.asarray(bn_s["mean"], np.float64)
+        var = np.asarray(bn_s["var"], np.float64)
+        f = scale / np.sqrt(var + epsilon)
+        return {"kernel": jnp.asarray((W * f).astype(np.float32)),
+                "bias": jnp.asarray((bias - mu * f).astype(np.float32))}
+
     def walk(p, s):
         if isinstance(p, dict) and "conv" in p and "bn" in p:
-            W = np.asarray(p["conv"]["kernel"], np.float64)
-            scale = np.asarray(p["bn"]["scale"], np.float64)
-            bias = np.asarray(p["bn"]["bias"], np.float64)
-            mu = np.asarray(s["bn"]["mean"], np.float64)
-            var = np.asarray(s["bn"]["var"], np.float64)
-            f = scale / np.sqrt(var + epsilon)
             out = {k: v for k, v in p.items() if k != "bn"}
-            out["conv"] = {
-                "kernel": jnp.asarray((W * f).astype(np.float32)),
-                "bias": jnp.asarray((bias - mu * f).astype(np.float32))}
+            out["conv"] = fold_pair(p["conv"], p["bn"], s["bn"])
+            return out
+        if isinstance(p, dict) and "stem_conv" in p and "stem_bn" in p:
+            # the ResNet trunk's un-scoped stem pair (resnet.py) — same
+            # algebra, sibling naming instead of a ConvBN scope
+            out = {k: walk(v, s.get(k, {}) if isinstance(s, dict) else {})
+                   for k, v in p.items() if k != "stem_bn"}
+            out["stem_conv"] = fold_pair(p["stem_conv"], p["stem_bn"],
+                                         s["stem_bn"])
             return out
         if isinstance(p, dict):
             return {k: walk(v, s.get(k, {}) if isinstance(s, dict) else {})

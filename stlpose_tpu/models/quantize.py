@@ -177,6 +177,70 @@ def quantize_hrnet(folded_variables, calib_stats, min_scale: float = 1e-8,
     return {"params": walk(params, stats)}
 
 
+def fold_frcnn_trunk(variables):
+    """Fold the Faster R-CNN ResNet trunk's BatchNorms into its convs.
+
+    Takes live-BN detector variables ({"params", "batch_stats"}) and
+    returns variables for a ``FasterRCNN(trunk_quant="folded")`` model:
+    the ``backbone`` subtree is BN-folded (including the
+    ``stem_conv``/``stem_bn`` pair — see ``hrnet.fold_batchnorms``); FPN /
+    RPN / box head pass through unchanged (they carry no BN). The
+    reference serves the live torch BN graph
+    (lib/model_setup.py:70-73); folding is the TPU serving optimization.
+    """
+    from stlpose_tpu.models.hrnet import fold_batchnorms
+
+    params = _to_plain(variables["params"])
+    stats = _to_plain(variables.get("batch_stats", {}))
+    bb = fold_batchnorms({"params": params["backbone"],
+                          "batch_stats": stats.get("backbone", {})})
+    params = dict(params)
+    params["backbone"] = bb["params"]
+    rest = {k: v for k, v in stats.items() if k != "backbone"}
+    out = {"params": params}
+    if rest:
+        out["batch_stats"] = rest
+    return out
+
+
+def quantize_frcnn_trunk(config, variables, batches, dtype=jnp.float32,
+                         act_scheme: str = "signed"):
+    """Fold + calibrate + int8-quantize the detector's ResNet trunk.
+
+    The trunk's fat 256..2048-channel convs are exactly the shape where
+    the v5e int8 MXU path pays (~1.9x measured on 256-channel convs —
+    PROFILE_thin_conv_experiment.json), unlike HRNet's thin branches. The
+    7x7 stem stays a folded f32/bf16 conv (3 input channels, negligible
+    FLOPs); FPN / RPN / box head are untouched.
+
+    Args:
+      config: the detector's ``FasterRCNNConfig`` (trunk geometry).
+      variables: live-BN detector variables ({"params", "batch_stats"}).
+      batches: iterable of image batches (N, S, S, 3), preprocessed
+        exactly as ``FasterRCNN.predict`` will see them (calibration runs
+        the folded trunk over them).
+      act_scheme: "signed" (``trunk_quant="int8"``, throughput flavor) or
+        "unsigned" (``trunk_quant="int8u"``, accuracy flavor) — same
+        semantics as the HRNet flavors above.
+    Returns:
+      variables for a ``FasterRCNN(trunk_quant="int8"|"int8u")`` model.
+    """
+    from stlpose_tpu.models.resnet import ResNet
+
+    folded = fold_frcnn_trunk(variables)
+    bb_folded = {"params": folded["params"]["backbone"]}
+    calib = ResNet(stage_sizes=config.stage_sizes, width=config.width,
+                   dtype=dtype, folded=True, quant="calib")
+    stats = calibrate_hrnet(calib, bb_folded, batches)
+    qbb = quantize_hrnet(bb_folded, stats, act_scheme=act_scheme)
+    params = dict(folded["params"])
+    params["backbone"] = qbb["params"]
+    out = {"params": params}
+    if "batch_stats" in folded:
+        out["batch_stats"] = folded["batch_stats"]
+    return out
+
+
 def quantize_hrnet_from_batches(config_name, variables, batches,
                                 dtype=jnp.float32,
                                 act_scheme: str = "signed"):

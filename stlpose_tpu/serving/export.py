@@ -190,7 +190,9 @@ def export_detector_server(variables, out_dir: str,
                            static_batch: int | None = None,
                            dtype=None,
                            pallas_roi: bool | None = None,
-                           image_dtype: str = "float32") -> str:
+                           image_dtype: str = "float32",
+                           trunk_quant: str = "none",
+                           calib_batches=None) -> str:
     """Export a detector's full inference program (backbone + proposal /
     anchor machinery + static NMS postprocess -> padded
     {boxes, scores, labels, valid}) the same way as the pose server.
@@ -211,6 +213,14 @@ def export_detector_server(variables, out_dir: str,
     when the export is eligible (tpu-exclusive + static batch); the
     default defers to the same STLPOSE_PALLAS_ROI env gate the
     FasterRCNN facade uses everywhere else.
+
+    ``trunk_quant`` (faster_rcnn only): ResNet-trunk serving flavor —
+    ``"folded"`` folds the trunk BNs into the convs; ``"int8"``/
+    ``"int8u"`` additionally bake the PTQ bottlenecks (requires
+    ``calib_batches``, preprocessed exactly as predict will see them;
+    models/quantize.py::quantize_frcnn_trunk, accuracy bounds
+    tests/test_trunk_quant.py). ``variables`` are the LIVE-BN training
+    variables; the transform happens here.
     """
     import jax
     from jax import export as jexport
@@ -234,10 +244,25 @@ def export_detector_server(variables, out_dir: str,
                 "0", "false", "off")
         pallas_ok = (tuple(platforms) == ("tpu",)
                      and static_batch is not None and bool(pallas_roi))
-        det = FasterRCNN(config, dtype=dtype, pallas_roi=pallas_ok) \
-            if config is not None else FasterRCNN(dtype=dtype,
-                                                  pallas_roi=pallas_ok)
+        kw = dict(dtype=dtype, pallas_roi=pallas_ok,
+                  trunk_quant=trunk_quant)
+        det = (FasterRCNN(config, **kw) if config is not None
+               else FasterRCNN(**kw))
+        if trunk_quant == "folded":
+            from stlpose_tpu.models.quantize import fold_frcnn_trunk
+            variables = fold_frcnn_trunk(variables)
+        elif trunk_quant in ("int8", "int8u"):
+            from stlpose_tpu.models.quantize import quantize_frcnn_trunk
+            if calib_batches is None:
+                raise ValueError(
+                    f"trunk_quant={trunk_quant!r} requires calib_batches")
+            variables = quantize_frcnn_trunk(
+                det.config, variables, calib_batches, dtype=dtype,
+                act_scheme=("signed" if trunk_quant == "int8"
+                            else "unsigned"))
     elif family == "efficientdet":
+        if trunk_quant != "none":
+            raise ValueError("trunk_quant is a faster_rcnn flavor")
         from stlpose_tpu.models.efficientdet import (EfficientDet,
                                                      EFFICIENTDET_D0)
         det = EfficientDet(config if config is not None else
@@ -271,9 +296,11 @@ def export_detector_server(variables, out_dir: str,
         f.write(exported.serialize())
     manifest = {
         "format": "jax.export/stablehlo",
+        "pipeline": "detector",
         "family": family,
         "batch": ("b" if static_batch is None else int(static_batch)),
         "pallas_roi": bool(pallas_ok),
+        "trunk_quant": trunk_quant,
         "compute_dtype": jnp.dtype(dtype).name,
         "input": {"images": ["b" if static_batch is None else int(
             static_batch), S, S, 3,
