@@ -313,7 +313,26 @@ class DetectorEvaluator:
         self.pipe = get_detection_dataset(
             exp, "valid", num_workers=self.num_workers,
             pad_multiple=self.mesh.devices.size, data_path=self.data_path)
-        shim = _DetectorModelShim(self.detector)
+        # trunk serving flavors (STLPOSE_FRCNN_TRUNK_QUANT, resolved by the
+        # FasterRCNN facade at construction): the checkpoint holds live-BN
+        # variables, so the restore TEMPLATE must come from a live-BN
+        # facade (same factory, flavor env stripped) — then the loaded
+        # variables are transformed for self.detector's serving graph;
+        # int8/int8u calibrate on the first validation batch (real images,
+        # exactly the tensors predict will see). This is the AP-parity
+        # runbook's trunk-quant leg (RUNBOOK_AP_PARITY.md §3c).
+        tq = getattr(self.detector, "trunk_quant", "none")
+        if tq != "none":
+            old = os.environ.pop("STLPOSE_FRCNN_TRUNK_QUANT", None)
+            try:
+                live_det, _ = build_detector(self.exp_data,
+                                             self.detector_config)
+            finally:
+                if old is not None:
+                    os.environ["STLPOSE_FRCNN_TRUNK_QUANT"] = old
+            shim = _DetectorModelShim(live_det)
+        else:
+            shim = _DetectorModelShim(self.detector)
         self.state, _ = create_train_state(
             shim, self.exp_data, jax.random.PRNGKey(CONFIG["random_seed"]),
             (1,))
@@ -321,6 +340,21 @@ class DetectorEvaluator:
             self.state, _ = load_checkpoint(self.state, self.exp_path,
                                             self.checkpoint, detector=True,
                                             only_model=True)
+        if tq != "none":
+            from stlpose_tpu.models.quantize import (fold_frcnn_trunk,
+                                                     quantize_frcnn_trunk)
+            variables = {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats}
+            if tq == "folded":
+                variables = fold_frcnn_trunk(variables)
+            else:
+                calib = next(iter(self.pipe))["image"]
+                variables = quantize_frcnn_trunk(
+                    self.det_cfg, variables, [np.asarray(calib)],
+                    act_scheme=("signed" if tq == "int8" else "unsigned"))
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}))
         self.predict = make_detector_predict(self.detector, self.mesh)
 
     def evaluate(self, save_stats: bool = True):

@@ -132,3 +132,40 @@ class TestTrunkInt8:
         assert ap32[1] > 0.9
         assert apq[1] > 0.5, f"{quant} AP50 collapsed: {apq[1]:.3f}"
         assert abs(apq[0] - ap32[0]) < 0.25
+
+
+class TestEvaluatorTrunkQuant:
+    @pytest.mark.parametrize("flavor", ["folded", "int8u"])
+    def test_detector_evaluator_env_flavor(self, tmp_path, monkeypatch,
+                                           flavor):
+        """The AP-parity runbook's trunk-quant legs run through the real
+        engine: STLPOSE_FRCNN_TRUNK_QUANT transforms the loaded live-BN
+        checkpoint inside DetectorEvaluator.setup (int8* calibrates on the
+        first validation batch) and the COCO bbox eval completes."""
+        from stlpose_tpu.engines.detector_trainer import (DetectorEvaluator,
+                                                          DetectorTrainer)
+        from stlpose_tpu.utils.experiment import create_experiment
+        from tests.fixtures import make_coco_dataset
+
+        data = tmp_path / "data"
+        make_coco_dataset(str(data), n_train=2, n_val=2, img_hw=(128, 160))
+        exp_path = create_experiment(
+            "tq", {"batch_size": 2, "num_epochs": 1, "save_frequency": 1},
+            root=str(tmp_path / "exp"))
+        tr = DetectorTrainer(exp_path, data_path=str(data), num_workers=0,
+                             detector_config="faster_rcnn_tiny")
+        tr.load_dataset()
+        tr.setup_model()
+        tr.training_loop()
+
+        monkeypatch.setenv("STLPOSE_FRCNN_TRUNK_QUANT", flavor)
+        ev = DetectorEvaluator(exp_path, checkpoint="final",
+                               data_path=str(data), num_workers=0,
+                               detector_config="faster_rcnn_tiny")
+        ev.setup()
+        assert ev.detector.trunk_quant == flavor
+        if flavor == "int8u":
+            cb1 = ev.state.params["backbone"]["layer1_0"]["cb1"]
+            assert "kernel_i8" in cb1
+        stats = ev.evaluate(save_stats=False)
+        assert np.isfinite(stats[0]) and -1.0 <= stats[0] <= 1.0
