@@ -170,13 +170,23 @@ def main():
                 detector=True, only_model=True)
         family = ("efficientdet" if "efficientdet" in
                   type(detector).__name__.lower() else "faster_rcnn")
+        calib = None
+        if args.trunk_quant in ("int8", "int8u"):
+            if args.calib_images is None:
+                ap.error(f"--trunk_quant {args.trunk_quant} requires "
+                         "--calib_images")
+            S = det_cfg.image_size
+            calib = [_load_calib_crops(args.calib_images, (S, S),
+                                       args.calib_count)
+                     .astype("float32") / 255.0]
         export_two_stage_server(
             det_state.variables(), variables, out_dir, family=family,
             det_config=det_cfg, pose_config_name=config_name,
             bbox_thr=args.bbox_thr, max_dets=args.max_dets,
             crop_budget=args.crop_budget, static_batch=args.batch,
             platforms=platforms, image_dtype=args.image_dtype,
-            packed_output=args.packed)
+            packed_output=args.packed, trunk_quant=args.trunk_quant,
+            calib_batches=calib)
     else:
         calib = None
         if args.quant in ("int8", "int8u"):

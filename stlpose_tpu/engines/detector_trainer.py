@@ -101,6 +101,43 @@ class _DetectorModelShim:
         return self.detector.init(rng, batch_size=1)
 
 
+def live_template_detector(exp_data: dict, detector_config=None):
+    """The same factory as ``build_detector`` with the trunk-flavor env
+    stripped: checkpoints hold LIVE-BN variables, so restore templates
+    must come from a live-BN facade even when serving wants a
+    folded/quantized trunk (STLPOSE_FRCNN_TRUNK_QUANT)."""
+    old = os.environ.pop("STLPOSE_FRCNN_TRUNK_QUANT", None)
+    try:
+        det, _ = build_detector(exp_data, detector_config)
+    finally:
+        if old is not None:
+            os.environ["STLPOSE_FRCNN_TRUNK_QUANT"] = old
+    return det
+
+
+def apply_trunk_flavor(detector, det_cfg, state, calib_batch_fn=None):
+    """Transform a live-BN detector state for ``detector.trunk_quant``
+    ("folded" folds the ResNet BNs; "int8"/"int8u" additionally bake the
+    PTQ bottlenecks, calibrating on ``calib_batch_fn()`` — real images in
+    the exact predict convention). No-op for the live flavor."""
+    tq = getattr(detector, "trunk_quant", "none")
+    if tq == "none":
+        return state
+    from stlpose_tpu.models.quantize import (fold_frcnn_trunk,
+                                             quantize_frcnn_trunk)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if tq == "folded":
+        variables = fold_frcnn_trunk(variables)
+    else:
+        if calib_batch_fn is None:
+            raise ValueError(f"trunk_quant={tq!r} needs calibration images")
+        variables = quantize_frcnn_trunk(
+            det_cfg, variables, [np.asarray(calib_batch_fn())],
+            act_scheme=("signed" if tq == "int8" else "unsigned"))
+    return state.replace(params=variables["params"],
+                         batch_stats=variables.get("batch_stats", {}))
+
+
 class DetectorTrainer:
     """Engine behind 02_train_faster_rcnn.py."""
 
@@ -314,25 +351,14 @@ class DetectorEvaluator:
             exp, "valid", num_workers=self.num_workers,
             pad_multiple=self.mesh.devices.size, data_path=self.data_path)
         # trunk serving flavors (STLPOSE_FRCNN_TRUNK_QUANT, resolved by the
-        # FasterRCNN facade at construction): the checkpoint holds live-BN
-        # variables, so the restore TEMPLATE must come from a live-BN
-        # facade (same factory, flavor env stripped) — then the loaded
-        # variables are transformed for self.detector's serving graph;
-        # int8/int8u calibrate on the first validation batch (real images,
-        # exactly the tensors predict will see). This is the AP-parity
+        # FasterRCNN facade at construction): restore through a live-BN
+        # template, then transform for the serving graph; int8/int8u
+        # calibrate on the first validation batch. This is the AP-parity
         # runbook's trunk-quant leg (RUNBOOK_AP_PARITY.md §3c).
         tq = getattr(self.detector, "trunk_quant", "none")
-        if tq != "none":
-            old = os.environ.pop("STLPOSE_FRCNN_TRUNK_QUANT", None)
-            try:
-                live_det, _ = build_detector(self.exp_data,
-                                             self.detector_config)
-            finally:
-                if old is not None:
-                    os.environ["STLPOSE_FRCNN_TRUNK_QUANT"] = old
-            shim = _DetectorModelShim(live_det)
-        else:
-            shim = _DetectorModelShim(self.detector)
+        shim = _DetectorModelShim(
+            live_template_detector(self.exp_data, self.detector_config)
+            if tq != "none" else self.detector)
         self.state, _ = create_train_state(
             shim, self.exp_data, jax.random.PRNGKey(CONFIG["random_seed"]),
             (1,))
@@ -340,21 +366,9 @@ class DetectorEvaluator:
             self.state, _ = load_checkpoint(self.state, self.exp_path,
                                             self.checkpoint, detector=True,
                                             only_model=True)
-        if tq != "none":
-            from stlpose_tpu.models.quantize import (fold_frcnn_trunk,
-                                                     quantize_frcnn_trunk)
-            variables = {"params": self.state.params,
-                         "batch_stats": self.state.batch_stats}
-            if tq == "folded":
-                variables = fold_frcnn_trunk(variables)
-            else:
-                calib = next(iter(self.pipe))["image"]
-                variables = quantize_frcnn_trunk(
-                    self.det_cfg, variables, [np.asarray(calib)],
-                    act_scheme=("signed" if tq == "int8" else "unsigned"))
-            self.state = self.state.replace(
-                params=variables["params"],
-                batch_stats=variables.get("batch_stats", {}))
+        self.state = apply_trunk_flavor(
+            self.detector, self.det_cfg, self.state,
+            calib_batch_fn=lambda: next(iter(self.pipe))["image"])
         self.predict = make_detector_predict(self.detector, self.mesh)
 
     def evaluate(self, save_stats: bool = True):

@@ -255,14 +255,26 @@ class VaseEvaluator:
                      pretrained=None):
         self.mesh = get_mesh()
         shim_rng = jax.random.PRNGKey(CONFIG["random_seed"])
-        # detector
-        from stlpose_tpu.engines.detector_trainer import _DetectorModelShim
+        # detector — trunk serving flavors (STLPOSE_FRCNN_TRUNK_QUANT)
+        # restore through a live-BN template, then transform for the
+        # serving graph; int8/int8u calibrate on the first vase batch
+        # (load_vase_subset must have run), so the engine serves the same
+        # full quantized stack bench.py measures (--trunk-quant int8)
+        from stlpose_tpu.engines.detector_trainer import (
+            _DetectorModelShim, apply_trunk_flavor, live_template_detector)
+        tq = getattr(self.detector, "trunk_quant", "none")
+        shim = _DetectorModelShim(
+            live_template_detector(self.exp_data, self.detector_config)
+            if tq != "none" else self.detector)
         self.det_state, _ = create_train_state(
-            _DetectorModelShim(self.detector), self.exp_data, shim_rng, (1,))
+            shim, self.exp_data, shim_rng, (1,))
         if self.detector_checkpoint is not None:
             self.det_state, _ = load_checkpoint(
                 self.det_state, self.exp_path, self.detector_checkpoint,
                 detector=True, only_model=True)
+        self.det_state = apply_trunk_flavor(
+            self.detector, self.det_cfg, self.det_state,
+            calib_batch_fn=lambda: next(iter(self.pipe))["image"])
         self.det_predict = make_detector_predict(self.detector, self.mesh)
         # pose model
         model = PoseHighResolutionNet(config=get_hrnet_config(config_name),

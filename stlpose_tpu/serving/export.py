@@ -331,7 +331,9 @@ def export_two_stage_server(det_variables, pose_variables, out_dir: str,
                             fold: bool = True,
                             pallas: bool | None = None,
                             image_dtype: str = "float32",
-                            packed_output: bool = False) -> str:
+                            packed_output: bool = False,
+                            trunk_quant: str = "none",
+                            calib_batches=None) -> str:
     """Export the ENTIRE two-stage pipeline — detector predict ->
     on-device bbox filtering -> cross-batch crop compaction -> affine
     crops -> pose forward -> per-crop + full-image decode — as one
@@ -359,6 +361,12 @@ def export_two_stage_server(det_variables, pose_variables, out_dir: str,
         of the output dict, so a serving host pays a single D2H fetch
         per call — the optimization that took the live engine from
         27 to 124 imgs/s per-call on an RPC-attached device.
+      trunk_quant: (faster_rcnn) ResNet-trunk serving flavor — see
+        ``export_detector_server``; ``det_variables`` are the live-BN
+        training variables, transformed here ("int8"/"int8u" need
+        ``calib_batches``). The full quantized stack (trunk_quant="int8"
+        + the STLPOSE_PALLAS_ROI_INT8 patch pyramid) is the bench's
+        518 imgs/s two-stage configuration.
     """
     import jax
     from jax import export as jexport
@@ -379,10 +387,26 @@ def export_two_stage_server(det_variables, pose_variables, out_dir: str,
 
     if family == "faster_rcnn":
         from stlpose_tpu.models.faster_rcnn import FasterRCNN
-        det = (FasterRCNN(det_config, dtype=dtype, pallas_roi=pallas)
-               if det_config is not None
-               else FasterRCNN(dtype=dtype, pallas_roi=pallas))
+        kw = dict(dtype=dtype, pallas_roi=pallas, trunk_quant=trunk_quant)
+        det = (FasterRCNN(det_config, **kw) if det_config is not None
+               else FasterRCNN(**kw))
+        if trunk_quant == "folded":
+            from stlpose_tpu.models.quantize import fold_frcnn_trunk
+            det_variables = fold_frcnn_trunk(det_variables)
+        elif trunk_quant in ("int8", "int8u"):
+            from stlpose_tpu.models.quantize import quantize_frcnn_trunk
+            if calib_batches is None:
+                raise ValueError(
+                    f"trunk_quant={trunk_quant!r} requires calib_batches")
+            det_variables = quantize_frcnn_trunk(
+                det.config, det_variables, calib_batches, dtype=dtype,
+                act_scheme=("signed" if trunk_quant == "int8"
+                            else "unsigned"))
+        elif trunk_quant != "none":
+            raise ValueError(f"unknown trunk_quant {trunk_quant!r}")
     elif family == "efficientdet":
+        if trunk_quant != "none":
+            raise ValueError("trunk_quant is a faster_rcnn flavor")
         from stlpose_tpu.models.efficientdet import (EfficientDet,
                                                      EFFICIENTDET_D0)
         det = EfficientDet(det_config if det_config is not None
@@ -444,6 +468,7 @@ def export_two_stage_server(det_variables, pose_variables, out_dir: str,
         "bbox_thr": bbox_thr,
         "pallas": bool(pallas),
         "bn_folded": bool(fold),
+        "trunk_quant": trunk_quant,
         "compute_dtype": jnp.dtype(dtype).name,
         "input": {"images": [B, S, S, 3,
                              "uint8 (0-255 RGB, converted on device)"

@@ -411,3 +411,47 @@ def test_pose_export_flip_tta_flavor(tmp_path):
                                np.asarray(preds), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got["scores"]),
                                np.asarray(maxvals), atol=1e-5)
+
+
+def test_two_stage_export_trunk_folded_matches_live_flavor(tmp_path):
+    """export_two_stage_server(trunk_quant="folded") transforms the
+    live-BN detector variables internally and the artifact matches the
+    plain (live-trunk) artifact's outputs — folding is exact algebra, so
+    the two serving programs must agree on every output."""
+    from stlpose_tpu.config import get_hrnet_config
+    from stlpose_tpu.models import PoseHighResolutionNet, fold_batchnorms
+    from stlpose_tpu.models.faster_rcnn import FasterRCNN, FASTER_RCNN_TINY
+    from stlpose_tpu.models.quantize import fold_frcnn_trunk
+    from stlpose_tpu.serving.export import (export_two_stage_server,
+                                            load_pose_server)
+
+    det = FasterRCNN(FASTER_RCNN_TINY)
+    dv = det.init(jax.random.PRNGKey(0))
+    pose = PoseHighResolutionNet(config=get_hrnet_config("tiny"))
+    pv = pose.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 256, 192, 3)), train=False)
+
+    kw = dict(family="faster_rcnn", det_config=FASTER_RCNN_TINY,
+              pose_config_name="tiny", bbox_thr=0.0, max_dets=4,
+              static_batch=2, platforms=("cpu",))
+    live_dir = export_two_stage_server(dv, pv, str(tmp_path / "live"), **kw)
+    fold_dir = export_two_stage_server(dv, pv, str(tmp_path / "folded"),
+                                       trunk_quant="folded", **kw)
+    serve_live, _ = load_pose_server(live_dir)
+    serve_fold, mf = load_pose_server(fold_dir)
+    assert mf["trunk_quant"] == "folded"
+
+    rng = np.random.RandomState(2)
+    S = det.config.image_size
+    imgs = jnp.asarray(rng.rand(2, S, S, 3).astype(np.float32))
+    pvf = fold_batchnorms(pv)
+    a = serve_live(dv, pvf, imgs)
+    # the folded artifact's call convention takes the TRANSFORMED trunk
+    # variables (same transform the manifest records, reproducible on
+    # the serving host from the live checkpoint)
+    b = serve_fold(fold_frcnn_trunk(dv), pvf, imgs)
+    assert set(a.keys()) == set(b.keys())
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k], np.float32),
+                                   np.asarray(b[k], np.float32),
+                                   atol=2e-3, rtol=1e-4, err_msg=k)

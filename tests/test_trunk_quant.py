@@ -169,3 +169,46 @@ class TestEvaluatorTrunkQuant:
             assert "kernel_i8" in cb1
         stats = ev.evaluate(save_stats=False)
         assert np.isfinite(stats[0]) and -1.0 <= stats[0] <= 1.0
+
+
+def test_engine_trunk_folded_matches_live(tmp_path, trained_tiny_frcnn,
+                                          detector_scene_batch):
+    """The deployment engine (VaseEvaluator.process_images, the fused
+    two-stage program) serves the folded-trunk detector with the SAME
+    results as the live-BN graph — the engine-side proof that the
+    trunk serving flavors (bench --trunk-quant) compose with the fused
+    pipeline. Folded is exact algebra, so equality is tight."""
+    from stlpose_tpu.engines.detector_trainer import apply_trunk_flavor
+    from stlpose_tpu.engines.vase_evaluator import VaseEvaluator
+    from stlpose_tpu.utils.experiment import create_experiment
+
+    det, trained = trained_tiny_frcnn
+    exp_path = create_experiment("tqeng", {"batch_size": 2},
+                                 root=str(tmp_path / "exp"))
+
+    def build(flavor):
+        ev = VaseEvaluator(exp_path, dataset_name="ccoimages_final",
+                           bbox_thr=0.5, max_dets=4,
+                           detector_config="faster_rcnn_tiny", save=False)
+        if flavor == "none":
+            ev.detector, ev.det_cfg = det, det.config
+        else:
+            qdet = FasterRCNN(FASTER_RCNN_TINY, trunk_quant=flavor)
+            ev.detector, ev.det_cfg = qdet, qdet.config
+        ev.setup_models(config_name="tiny", pretrained=None)
+        ev.det_state = ev.det_state.replace(
+            params=trained["params"], batch_stats=trained["batch_stats"])
+        ev.det_state = apply_trunk_flavor(ev.detector, ev.det_cfg,
+                                          ev.det_state)
+        return ev
+
+    images = np.asarray(detector_scene_batch["image"])
+    live = build("none").process_images(images)
+    fold = build("folded").process_images(images)
+    assert len(live) == len(fold) == len(images)
+    assert sum(len(r["boxes"]) for r in live) > 0
+    for a, b in zip(live, fold):
+        assert len(a["boxes"]) == len(b["boxes"])
+        np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-3)
+        np.testing.assert_allclose(a["image_keypoints"],
+                                   b["image_keypoints"], atol=2e-3)
