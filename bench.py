@@ -636,7 +636,8 @@ def bench_efficientdet(batch, iters, warmup, compound="d0",
 
 
 def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
-                           dets_per_img=16, family="faster_rcnn"):
+                           dets_per_img=16, family="faster_rcnn",
+                           trunk_quant=None, roi_quant=False):
     """The ENGINE's two-stage entry point on hardware:
     ``VaseEvaluator.process_images`` (fused path — one jit program
     detector -> on-device bbox filtering -> cross-batch compaction ->
@@ -658,6 +659,13 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
     jax = _setup()
     if dtype != "float32":
         os.environ["STLPOSE_DTYPE"] = "bfloat16"
+    # detector serving flavors: resolved by the FasterRCNN facade from
+    # env at construction (models/faster_rcnn.py:444-453), exactly how a
+    # deployment would select them for the engine
+    if trunk_quant and trunk_quant != "none":
+        os.environ["STLPOSE_FRCNN_TRUNK_QUANT"] = trunk_quant
+    if roi_quant:
+        os.environ["STLPOSE_PALLAS_ROI_INT8"] = "1"
     from stlpose_tpu.engines.detector_trainer import build_detector
     from stlpose_tpu.engines.vase_evaluator import VaseEvaluator
     from stlpose_tpu.utils.experiment import create_experiment
@@ -665,18 +673,28 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
     root = tempfile.mkdtemp()
     exp_path = create_experiment("bench_engine", {"batch_size": batch},
                                  root=root)
+    # CPU smoke of the bench plumbing itself (full-size programs are
+    # impractical on the 1-vCPU host); never set on real measurements —
+    # archiving to BENCH_extra.json is skipped under this knob
+    tiny = bool(os.environ.get("STLPOSE_BENCH_TINY"))
+    det_name = f"{family}_tiny" if tiny else family
+    pose_cfg_name = "tiny" if tiny else "w32_256x192"
     # budget matches the twostage_compact density emulation (U[1,3]
     # persons/image, 8-aligned) so the two numbers are comparable
     rngb = np.random.RandomState(0)
     budget = int(-(-int(rngb.randint(1, 4, size=batch).sum()) // 8) * 8)
     ev = VaseEvaluator(exp_path, bbox_thr=0.5, max_dets=dets_per_img,
-                      detector_config=family, save=False, use_fused=True,
+                      detector_config=det_name, save=False, use_fused=True,
                       crop_budget=budget)
-    ev.detector, ev.det_cfg = build_detector(ev.exp_data, family)
-    ev.setup_models(config_name="w32_256x192", pretrained=None)
+    ev.detector, ev.det_cfg = build_detector(ev.exp_data, det_name)
     S = ev.det_cfg.image_size
     rng = np.random.RandomState(1)
     images = rng.rand(batch, S, S, 3).astype(np.float32)
+    if trunk_quant in ("int8", "int8u"):
+        # setup_models calibrates the PTQ trunk on the first engine batch
+        # (load_vase_subset in deployment); feed it this bench's images
+        ev.pipe = [{"image": images[: min(8, batch)]}]
+    ev.setup_models(config_name=pose_cfg_name, pretrained=None)
 
     for _ in range(warmup):
         ev.process_images(images)
@@ -710,6 +728,10 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
     suffix = "" if dtype == "float32" else "_bf16"
     if family != "faster_rcnn":
         suffix = f"_{family}{suffix}"
+    if roi_quant:
+        suffix += "_roi8"
+    if trunk_quant and trunk_quant != "none":
+        suffix += f"_trunk_{trunk_quant}"
     if batch != 8:        # don't clobber the B=8 reference entry
         suffix = f"{suffix}_b{batch}"
     # `value` = the device-resident leg, the headline README quotes (the
@@ -721,6 +743,8 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
             "unit": "images/sec/chip",
             "vs_baseline": None,
             "detail": {"batch": batch, "image_size": S, "dtype": dtype,
+                       "trunk_quant": trunk_quant,
+                       "roi_patch_quant": bool(roi_quant),
                        "crop_budget": budget, "max_dets": dets_per_img,
                        "ms_per_call_device_resident_images":
                            round(per_iter_resident * 1000, 2),
@@ -964,11 +988,13 @@ def main():
                     choices=[None, "torchvision_parity"],
                     help="detector config preset for --mode detector")
     ap.add_argument("--roi-quant", action="store_true",
-                    help="int8 RoI patch pyramid for --mode detector "
+                    help="int8 RoI patch pyramid for --mode detector / "
+                         "twostage_compact / twostage_engine "
                          "(ops/pallas_roi.py patch_quant serving knob)")
     ap.add_argument("--trunk-quant", default=None,
                     choices=[None, "folded", "int8", "int8u"],
                     help="ResNet-trunk serving flavor for --mode detector "
+                         "/ twostage_compact / twostage_engine "
                          "(models/quantize.py::quantize_frcnn_trunk)")
     ap.add_argument("--detector-family", default="faster_rcnn",
                     choices=["faster_rcnn", "efficientdet"],
@@ -1006,16 +1032,20 @@ def main():
                                  args.warmup, dtype=args.dtype,
                                  dets_per_img=args.dets_per_img)
     elif args.mode == "twostage_engine":
-        result = bench_two_stage_engine(min(args.batch, 64), args.iters,
+        result = bench_two_stage_engine(min(args.batch, 128), args.iters,
                                         args.warmup, dtype=args.dtype,
                                         dets_per_img=args.dets_per_img,
-                                        family=args.detector_family)
+                                        family=args.detector_family,
+                                        trunk_quant=args.trunk_quant,
+                                        roi_quant=args.roi_quant)
     elif args.mode == "twostage_compact":
         result = bench_two_stage_compact(min(args.batch, 128), args.iters,
                                          args.warmup, dtype=args.dtype,
                                          dets_per_img=args.dets_per_img,
                                          family=args.detector_family,
-                                         trunk_quant=args.trunk_quant)
+                                         trunk_quant=args.trunk_quant,
+                                         roi_patch_quant=args.roi_quant
+                                         or None)
     elif args.mode == "serving":
         result = bench_serving(args.batch, args.iters, args.warmup)
     elif args.mode == "detector_serving":
@@ -1033,8 +1063,10 @@ def main():
     # everything except the driver's headline --mode infer run is
     # archived in BENCH_extra.json (incl. --mode infer --dtype int8 and
     # --mode sweep, whose winning run carries the headline metric name
-    # but also the per-batch sweep detail worth keeping)
-    if (args.mode != "infer"
+    # but also the per-batch sweep detail worth keeping); tiny-config CPU
+    # smokes (STLPOSE_BENCH_TINY) never overwrite real hardware numbers
+    if not os.environ.get("STLPOSE_BENCH_TINY") and (
+            args.mode != "infer"
             or result["metric"] != "hrnet_w32_256x192_inference_throughput"):
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_extra.json")

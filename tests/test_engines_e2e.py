@@ -282,3 +282,34 @@ def test_detector_export_cli_trunk_int8(workspace, tmp_path):
     assert manifest["family"] == "faster_rcnn"
     assert manifest["trunk_quant"] == "int8"
     assert os.path.exists(os.path.join(out_dir, "model.stablehlo"))
+
+
+def test_two_stage_export_cli_trunk_int8(workspace, tmp_path):
+    """08_export_serving --pipeline two_stage --trunk_quant int8: the
+    FUSED detect->crop->pose artifact with the PTQ ResNet trunk — the
+    bench's full-quantized-stack two-stage configuration — is reachable
+    from the CLI contract (library path bounded by
+    tests/test_serving_export.py's trunk-folded round trip)."""
+    data, exp_path = workspace
+    rng = np.random.RandomState(3)
+    S = 128                                     # faster_rcnn_tiny image_size
+    calib = rng.randint(0, 256, (2, S, S, 3), dtype=np.uint8)
+    calib_npy = str(tmp_path / "ts_calib.npy")
+    np.save(calib_npy, calib)
+    env = dict(os.environ, STLPOSE_MODEL_CONFIG="tiny",
+               STLPOSE_DETECTOR_CONFIG="faster_rcnn_tiny",
+               STLPOSE_PRETRAINED="", PALLAS_AXON_POOL_IPS="",
+               JAX_PLATFORMS="cpu")
+    out_dir = os.path.join(exp_path, "two_stage_trunk_export")
+    out = subprocess.run(
+        [sys.executable, "scripts/08_export_serving.py", "-d", exp_path,
+         "--pipeline", "two_stage", "--platforms", "cpu", "--batch", "2",
+         "--max_dets", "4", "--trunk_quant", "int8",
+         "--calib_images", calib_npy, "--out", out_dir],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
+    assert manifest["pipeline"] == "two_stage"
+    assert manifest["family"] == "faster_rcnn"
+    assert manifest["trunk_quant"] == "int8"
+    assert os.path.exists(os.path.join(out_dir, "model.stablehlo"))
