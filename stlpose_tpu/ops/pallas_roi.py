@@ -54,6 +54,17 @@ _F32_TIGHT = (os.environ.get("STLPOSE_PALLAS_ROI_F32_TIGHT") or "1") != "0"
 # default "pp", STLPOSE_PALLAS_ROI_MODE=band restores the round-3/4
 # geometry.
 _ROI_MODE = (os.environ.get("STLPOSE_PALLAS_ROI_MODE") or "pp").lower()
+# Boxes per grid step for the pp kernel. One box per step leaves ~2 us
+# of the measured ~3.2 us/box unexplained by DMA bandwidth + compute —
+# grid-step + per-DMA-wait overhead across 4096 sequential steps.
+# Blocking KB boxes per step amortizes that and keeps KB*ns DMAs in
+# flight per double-buffer stage. VMEM bound: KB=4 at bf16/C=256 uses
+# ~7.3 MB of the 16 MB core budget (2 patch buffers + lerp scratch).
+# Default 1 until the blocked variant is hardware-validated
+# (scripts/validate_pallas_roi_block_hw.py — interpret mode models none
+# of Mosaic's DMA constraints); STLPOSE_PALLAS_ROI_BLOCK or an explicit
+# "pp2"/"pp4" mode string overrides.
+_ROI_BLOCK = int(os.environ.get("STLPOSE_PALLAS_ROI_BLOCK") or "1")
 # Pallas-path patch budget: the short axis needs <= ~30 rows, but Mosaic
 # requires the DMA row offset to be sublane-tile aligned. The sublane
 # tile is DTYPE-dependent — 8 rows for f32, 16 for bf16 — so the origin
@@ -165,60 +176,72 @@ def _roi_kernel(src_ref, os_ref, c0_ref, wlo_ref, whi_ref, ws_ref,
 
 def _roi_kernel_pp(src_ref, os_ref, c0_ref, wlo_ref, whi_ref, ws_ref,
                    pyr_ref, out_ref, patch0, patch1, lbuf, sem, *,
-                   n_boxes, ns, C, ALIGN, SHORT_PAL):
+                   n_steps, ns, C, ALIGN, SHORT_PAL, KB):
     """Per-point DMA formulation: each of the ns long-axis sample points
     DMAs ONLY its 2 bilinear tap columns — (SHORT_PAL, 2C) — instead of
     the box's full (SHORT_PAL, PAD*C) band. ~PAD/(2*ns) less HBM traffic
     on the dominant detector stage; the ns per-box matmuls collapse into
-    ONE (ns, SHORT_PAL) @ (SHORT_PAL, ns*C) MXU dot against the lerp
-    scratch. Interpolation semantics identical to _roi_kernel (the host
-    arithmetic is shared verbatim)."""
+    ONE (ns, SHORT_PAL) @ (SHORT_PAL, ns*C) MXU dot per box against the
+    lerp scratch. Interpolation semantics identical to _roi_kernel (the
+    host arithmetic is shared verbatim).
+
+    Each grid step processes a BLOCK of ``KB`` boxes (all KB*ns tap
+    DMAs of a block start together per double-buffer stage): one box
+    per step leaves ~2 us/box of grid-step + DMA-wait overhead on the
+    hardware — see the round-5 block table in PROFILE_detector.md."""
     n = pl.program_id(0)
 
-    def dma(box, i, pref, slot):
+    def dma(step, j, i, pref, slot):
         # 2-D sliced HBM->VMEM copy: rows at the sublane-tile-aligned
         # window origin, the point's 2 tap columns at lane offset c0*C
         # (provably a C-multiple; C % 128 == 0 is checked by the caller)
+        box = step * KB + j
+        k = j * ns + i
         return pltpu.make_async_copy(
             pyr_ref.at[src_ref[box],
                        pl.ds(pl.multiple_of(os_ref[box], ALIGN),
                              SHORT_PAL),
                        pl.ds(pl.multiple_of(c0_ref[box, i] * C, C),
                              2 * C)],
-            pref.at[:, i * 2 * C:(i + 1) * 2 * C],
-            sem.at[slot, i])
+            pref.at[:, k * 2 * C:(k + 1) * 2 * C],
+            sem.at[slot, j, i])
 
-    def start_all(box, pref, slot):
-        for i in range(ns):
-            dma(box, i, pref, slot).start()
+    def start_all(step, pref, slot):
+        for j in range(KB):
+            for i in range(ns):
+                dma(step, j, i, pref, slot).start()
 
     def stage(cur, cur_slot, nxt, nxt_slot):
         @pl.when(n == 0)
         def _():
             start_all(0, cur, cur_slot)
 
-        @pl.when(n + 1 < n_boxes)
+        @pl.when(n + 1 < n_steps)
         def _():
             start_all(n + 1, nxt, nxt_slot)
 
-        ws = ws_ref[0]                               # (ns, SHORT_PAL)
-        for i in range(ns):
-            dma(n, i, cur, cur_slot).wait()
-            cols = cur[:, i * 2 * C:(i + 1) * 2 * C]   # (SHORT, 2C)
-            # int8 patches promote to f32 against the f32 SMEM weight
-            # exactly like bf16 ones do; the lerp result is stored in the
-            # COMPUTE dtype scratch (bf16 serving keeps bf16 precision,
-            # f32 keeps the bit-exactness contract)
-            L = (cols[:, :C] * wlo_ref[n, i] +
-                 cols[:, C:] * whi_ref[n, i])          # (SHORT, C)
-            lbuf[:, i * C:(i + 1) * C] = L.astype(lbuf.dtype)
         prec = (jax.lax.Precision.HIGHEST
-                if ws.dtype == jnp.float32 else
+                if ws_ref.dtype == jnp.float32 else
                 jax.lax.Precision.DEFAULT)
-        out_ref[0] = jax.lax.dot_general(
-            ws, lbuf[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec).astype(out_ref.dtype)      # (ns, ns*C)
+        for j in range(KB):
+            box = n * KB + j
+            for i in range(ns):
+                dma(n, j, i, cur, cur_slot).wait()
+                k = j * ns + i
+                cols = cur[:, k * 2 * C:(k + 1) * 2 * C]   # (SHORT, 2C)
+                # int8 patches promote to f32 against the f32 SMEM
+                # weight exactly like bf16 ones do; the lerp result is
+                # stored in the COMPUTE dtype scratch (bf16 serving
+                # keeps bf16 precision, f32 keeps the bit-exactness
+                # contract)
+                L = (cols[:, :C] * wlo_ref[box, i] +
+                     cols[:, C:] * whi_ref[box, i])        # (SHORT, C)
+                lbuf[:, k * C:(k + 1) * C] = L.astype(lbuf.dtype)
+            out_ref[j] = jax.lax.dot_general(
+                ws_ref[j], lbuf[:, j * ns * C:(j + 1) * ns * C],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(out_ref.dtype)      # (ns, ns*C)
 
     parity = jax.lax.rem(n, 2)
 
@@ -242,26 +265,40 @@ def _roi_chunk_call(pyramid, src, o_s, c0, wlo, whi, ws, *, ns, PAD, C,
     pdtype = pyramid.dtype
     cdtype = ws.dtype
     ALIGN, SHORT_PAL = _dma_geometry(pdtype)
-    if mode == "pp":
-        kernel = functools.partial(_roi_kernel_pp, n_boxes=N, ns=ns, C=C,
-                                   ALIGN=ALIGN, SHORT_PAL=SHORT_PAL)
+    if mode.startswith("pp"):
+        # block size: largest power of two <= the requested block that
+        # divides the chunk AND keeps the kernel's VMEM footprint
+        # (2 patch buffers + lerp scratch) under ~10 MB of the 16 MB
+        # core budget (the f32 geometry at KB=4 would need ~11.8 MB —
+        # it caps at 2). "pp" uses the env/default block; an explicit
+        # "pp1"/"pp2"/"pp4" pins it (the A/B sweep knob).
+        KB = max(1, int(mode[2:]) if mode[2:] else _ROI_BLOCK)
+        psz = jnp.dtype(pdtype).itemsize
+        csz = jnp.dtype(cdtype).itemsize
+        while KB > 1 and (
+                N % KB != 0 or
+                SHORT_PAL * KB * ns * C * (4 * psz + csz) > 10 * 2**20):
+            KB //= 2
+        kernel = functools.partial(_roi_kernel_pp, n_steps=N // KB, ns=ns,
+                                   C=C, ALIGN=ALIGN, SHORT_PAL=SHORT_PAL,
+                                   KB=KB)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=5,       # src, o_s, c0, wlo, whi
-                grid=(N,),
+                grid=(N // KB,),
                 in_specs=[
-                    pl.BlockSpec((1, ns, SHORT_PAL),
-                                 lambda n, *_: (n, 0, 0)),   # Ws per box
+                    pl.BlockSpec((KB, ns, SHORT_PAL),
+                                 lambda n, *_: (n, 0, 0)),   # Ws per block
                     pl.BlockSpec(memory_space=pl.ANY),       # pyramid HBM
                 ],
-                out_specs=pl.BlockSpec((1, ns, ns * C),
+                out_specs=pl.BlockSpec((KB, ns, ns * C),
                                        lambda n, *_: (n, 0, 0)),
                 scratch_shapes=[
-                    pltpu.VMEM((SHORT_PAL, ns * 2 * C), pdtype),
-                    pltpu.VMEM((SHORT_PAL, ns * 2 * C), pdtype),
-                    pltpu.VMEM((SHORT_PAL, ns * C), cdtype),
-                    pltpu.SemaphoreType.DMA((2, ns)),
+                    pltpu.VMEM((SHORT_PAL, KB * ns * 2 * C), pdtype),
+                    pltpu.VMEM((SHORT_PAL, KB * ns * 2 * C), pdtype),
+                    pltpu.VMEM((SHORT_PAL, KB * ns * C), cdtype),
+                    pltpu.SemaphoreType.DMA((2, KB, ns)),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((N, ns, ns * C), cdtype),
@@ -335,7 +372,9 @@ def multilevel_roi_align_pallas_batched(feature_levels, boxes, strides,
 
     ``mode``: "pp" (default, STLPOSE_PALLAS_ROI_MODE overrides) DMAs per
     sample point only the 2 tap columns; "band" DMAs the full padded
-    band per box (round-3/4 geometry).
+    band per box (round-3/4 geometry). "pp1"/"pp2"/"pp4" pin the pp
+    kernel's boxes-per-grid-step block (bare "pp" uses
+    STLPOSE_PALLAS_ROI_BLOCK, default 4).
 
     ``patch_quant``: quantize the patch pyramid to int8 with dynamic
     per-(level, channel) symmetric scales before the DMA stage. RoIAlign
@@ -482,7 +521,7 @@ def multilevel_roi_align_pallas_batched(feature_levels, boxes, strides,
     # the band kernel emits (PT, ns_long, ns_short, C) and downstream
     # expects (PT, ns_short, ns_long, C); the pp kernel's fused dot
     # already emits short-major (its dot LHS is the short-axis Ws)
-    out = out_lm if mode == "pp" else jnp.swapaxes(out_lm, 1, 2)
+    out = out_lm if mode.startswith("pp") else jnp.swapaxes(out_lm, 1, 2)
     out = out.reshape(PT, n, sr, n, sr, C).mean(axis=(2, 4))
     out = jnp.where(w3[..., None], out, jnp.swapaxes(out, 1, 2))
     if scale_arr is not None:

@@ -162,6 +162,32 @@ def test_pp_mode_matches_xla():
                                    atol=1e-4, rtol=1e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("block", [2, 4])
+def test_pp_blocked_matches_unblocked(block):
+    """The blocked pp kernel (KB boxes per grid step, round 5b) keeps the
+    per-box arithmetic unchanged — outputs must match the KB=1 kernel and
+    the XLA formulation on every adversarial regime, with and without the
+    int8 patch pyramid."""
+    rng = np.random.RandomState(17)
+    feats, regimes = _all_regimes(rng, 400)
+    for name, boxes in regimes.items():
+        blk = multilevel_roi_align_pallas(feats, boxes, STRIDES,
+                                          interpret=True,
+                                          mode=f"pp{block}")
+        ref = multilevel_roi_align(feats, boxes, STRIDES)
+        np.testing.assert_allclose(np.asarray(blk), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+        bq = multilevel_roi_align_pallas(feats, boxes, STRIDES,
+                                         interpret=True,
+                                         mode=f"pp{block}",
+                                         patch_quant=True)
+        uq = multilevel_roi_align_pallas(feats, boxes, STRIDES,
+                                         interpret=True, mode="pp1",
+                                         patch_quant=True)
+        np.testing.assert_array_equal(np.asarray(bq), np.asarray(uq),
+                                      err_msg=name)
+
+
 @pytest.mark.parametrize("mode", ["band", "pp"])
 def test_patch_quant_matches_dequantized_oracle(mode):
     """int8 patch pyramid: the kernel's post-pooling per-channel dequant
