@@ -54,16 +54,17 @@ _F32_TIGHT = (os.environ.get("STLPOSE_PALLAS_ROI_F32_TIGHT") or "1") != "0"
 # default "pp", STLPOSE_PALLAS_ROI_MODE=band restores the round-3/4
 # geometry.
 _ROI_MODE = (os.environ.get("STLPOSE_PALLAS_ROI_MODE") or "pp").lower()
-# Boxes per grid step for the pp kernel. One box per step leaves ~2 us
-# of the measured ~3.2 us/box unexplained by DMA bandwidth + compute —
-# grid-step + per-DMA-wait overhead across 4096 sequential steps.
-# Blocking KB boxes per step amortizes that and keeps KB*ns DMAs in
-# flight per double-buffer stage. VMEM bound: KB=4 at bf16/C=256 uses
-# ~7.3 MB of the 16 MB core budget (2 patch buffers + lerp scratch).
-# Default 1 until the blocked variant is hardware-validated
-# (scripts/validate_pallas_roi_block_hw.py — interpret mode models none
-# of Mosaic's DMA constraints); STLPOSE_PALLAS_ROI_BLOCK or an explicit
-# "pp2"/"pp4" mode string overrides.
+# Boxes per grid step for the pp kernel. Hypothesis was that one box
+# per step leaves ~2 us/box of grid-step + per-DMA-wait overhead across
+# 4096 sequential steps; HARDWARE-CLOSED round 5b
+# (scripts/validate_pallas_roi_block_hw.py, v5e): blocked outputs are
+# bit-identical to KB=1 at every block size (full-model checksums equal)
+# but blocking pays <=0.8% (bf16 predict 526.8 -> 529.7 (pp2) -> 531.0
+# (pp4); int8 patches 597.0 -> 595.1 — within run-to-run noise), i.e.
+# the pipeline already hides the per-step overhead behind the in-flight
+# DMAs. Default stays 1 (smallest VMEM footprint: KB=4 at bf16/C=256
+# needs ~7.3 MB of the 16 MB core budget vs ~1.8 MB at KB=1);
+# STLPOSE_PALLAS_ROI_BLOCK or an explicit "pp2"/"pp4" mode pins it.
 _ROI_BLOCK = int(os.environ.get("STLPOSE_PALLAS_ROI_BLOCK") or "1")
 # Pallas-path patch budget: the short axis needs <= ~30 rows, but Mosaic
 # requires the DMA row offset to be sublane-tile aligned. The sublane
@@ -374,7 +375,9 @@ def multilevel_roi_align_pallas_batched(feature_levels, boxes, strides,
     sample point only the 2 tap columns; "band" DMAs the full padded
     band per box (round-3/4 geometry). "pp1"/"pp2"/"pp4" pin the pp
     kernel's boxes-per-grid-step block (bare "pp" uses
-    STLPOSE_PALLAS_ROI_BLOCK, default 4).
+    STLPOSE_PALLAS_ROI_BLOCK, default 1 — blocking measured <=0.8% on
+    hardware and is kept only as an A/B knob; see the round-5b note at
+    _ROI_BLOCK).
 
     ``patch_quant``: quantize the patch pyramid to int8 with dynamic
     per-(level, channel) symmetric scales before the DMA stage. RoIAlign
