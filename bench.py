@@ -558,22 +558,17 @@ def bench_detector(batch, iters, warmup, dtype="float32", preset=None,
     S = model.config.image_size
     cpu = jax.devices("cpu")[0]
     if trunk_quant and trunk_quant != "none":
-        from stlpose_tpu.models.quantize import (fold_frcnn_trunk,
-                                                 quantize_frcnn_trunk)
-        live = (FasterRCNN(cfg, dtype=jnp.dtype(dtype))
-                if cfg is not None else FasterRCNN(dtype=jnp.dtype(dtype)))
+        from stlpose_tpu.models.quantize import apply_trunk_flavor_variables
+        lkw = dict(dtype=jnp.dtype(dtype), trunk_quant="none")
+        live = FasterRCNN(cfg, **lkw) if cfg is not None \
+            else FasterRCNN(**lkw)
         rng0 = np.random.RandomState(7)
         with jax.default_device(cpu):
             raw = live.init(jax.random.PRNGKey(0))
-            if trunk_quant == "folded":
-                variables = fold_frcnn_trunk(raw)
-            else:
-                variables = quantize_frcnn_trunk(
-                    model.config, raw,
-                    [rng0.rand(2, S, S, 3).astype(np.float32)],
-                    dtype=jnp.dtype(dtype),
-                    act_scheme=("signed" if trunk_quant == "int8"
-                                else "unsigned"))
+            variables = apply_trunk_flavor_variables(
+                model.config, raw, trunk_quant,
+                calib_batches=[rng0.rand(2, S, S, 3).astype(np.float32)],
+                dtype=jnp.dtype(dtype))
     else:
         with jax.default_device(cpu):
             variables = model.init(jax.random.PRNGKey(0))
@@ -669,11 +664,17 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
     import time
 
     jax = _setup()
-    if dtype != "float32":
-        os.environ["STLPOSE_DTYPE"] = "bfloat16"
     # detector serving flavors: resolved by the FasterRCNN facade from
     # env at construction (models/faster_rcnn.py:444-453), exactly how a
-    # deployment would select them for the engine
+    # deployment would select them for the engine. The env writes are
+    # restored by the caller-side finally below so later legs in the
+    # same one-process measurement batch (the repo's TPU convention)
+    # don't silently inherit this leg's flavors.
+    env_keys = ("STLPOSE_DTYPE", "STLPOSE_FRCNN_TRUNK_QUANT",
+                "STLPOSE_PALLAS_ROI_INT8")
+    env_saved = {k: os.environ.get(k) for k in env_keys}
+    if dtype != "float32":
+        os.environ["STLPOSE_DTYPE"] = "bfloat16"
     if trunk_quant and trunk_quant != "none":
         os.environ["STLPOSE_FRCNN_TRUNK_QUANT"] = trunk_quant
     if roi_quant:
@@ -695,18 +696,28 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
     # persons/image, 8-aligned) so the two numbers are comparable
     rngb = np.random.RandomState(0)
     budget = int(-(-int(rngb.randint(1, 4, size=batch).sum()) // 8) * 8)
-    ev = VaseEvaluator(exp_path, bbox_thr=0.5, max_dets=dets_per_img,
-                      detector_config=det_name, save=False, use_fused=True,
-                      crop_budget=budget)
-    ev.detector, ev.det_cfg = build_detector(ev.exp_data, det_name)
-    S = ev.det_cfg.image_size
-    rng = np.random.RandomState(1)
-    images = rng.rand(batch, S, S, 3).astype(np.float32)
-    if trunk_quant in ("int8", "int8u"):
-        # setup_models calibrates the PTQ trunk on the first engine batch
-        # (load_vase_subset in deployment); feed it this bench's images
-        ev.pipe = [{"image": images[: min(8, batch)]}]
-    ev.setup_models(config_name=pose_cfg_name, pretrained=None)
+    try:
+        ev = VaseEvaluator(exp_path, bbox_thr=0.5, max_dets=dets_per_img,
+                           detector_config=det_name, save=False,
+                           use_fused=True, crop_budget=budget)
+        ev.detector, ev.det_cfg = build_detector(ev.exp_data, det_name)
+        S = ev.det_cfg.image_size
+        rng = np.random.RandomState(1)
+        images = rng.rand(batch, S, S, 3).astype(np.float32)
+        if trunk_quant in ("int8", "int8u"):
+            # setup_models calibrates the PTQ trunk on the first engine
+            # batch (load_vase_subset in deployment); feed it this
+            # bench's images
+            ev.pipe = [{"image": images[: min(8, batch)]}]
+        ev.setup_models(config_name=pose_cfg_name, pretrained=None)
+    finally:
+        # all env reads happen at model construction; restore so later
+        # legs in the same process see the caller's environment
+        for k, v in env_saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
     for _ in range(warmup):
         ev.process_images(images)
@@ -813,22 +824,18 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
         else:
             det = FasterRCNN(**dkw)
         if trunk_quant and trunk_quant != "none":
-            from stlpose_tpu.models.quantize import (fold_frcnn_trunk,
-                                                     quantize_frcnn_trunk)
-            live = FasterRCNN(det.config, dtype=jnp.dtype(dtype))
+            from stlpose_tpu.models.quantize import \
+                apply_trunk_flavor_variables
+            live = FasterRCNN(det.config, dtype=jnp.dtype(dtype),
+                              trunk_quant="none")
             Sq = det.config.image_size
             with jax.default_device(cpu):
                 raw = live.init(jax.random.PRNGKey(0))
-                if trunk_quant == "folded":
-                    det_vars = fold_frcnn_trunk(raw)
-                else:
-                    det_vars = quantize_frcnn_trunk(
-                        det.config, raw,
-                        [np.random.RandomState(7).rand(
-                            2, Sq, Sq, 3).astype(np.float32)],
-                        dtype=jnp.dtype(dtype),
-                        act_scheme=("signed" if trunk_quant == "int8"
-                                    else "unsigned"))
+                det_vars = apply_trunk_flavor_variables(
+                    det.config, raw, trunk_quant,
+                    calib_batches=[np.random.RandomState(7).rand(
+                        2, Sq, Sq, 3).astype(np.float32)],
+                    dtype=jnp.dtype(dtype))
         else:
             with jax.default_device(cpu):
                 det_vars = det.init(jax.random.PRNGKey(0))

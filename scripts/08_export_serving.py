@@ -125,10 +125,13 @@ def main():
     platforms = tuple(args.platforms.split(","))
     if args.pipeline == "detector":
         from stlpose_tpu.engines.detector_trainer import (
-            build_detector, _DetectorModelShim)
+            live_template_detector, _DetectorModelShim)
         from stlpose_tpu.serving import export_detector_server
 
-        detector, det_cfg = build_detector(
+        # live-BN restore template regardless of a leaked
+        # STLPOSE_FRCNN_TRUNK_QUANT env (checkpoints hold live-BN
+        # variables; the flavor is controlled solely by --trunk_quant)
+        detector, det_cfg = live_template_detector(
             exp_data, os.environ.get("STLPOSE_DETECTOR_CONFIG"))
         det_state, _ = create_train_state(
             _DetectorModelShim(detector), exp_data,
@@ -156,10 +159,13 @@ def main():
             trunk_quant=args.trunk_quant, calib_batches=calib)
     elif args.pipeline == "two_stage":
         from stlpose_tpu.engines.detector_trainer import (
-            build_detector, _DetectorModelShim)
+            live_template_detector, _DetectorModelShim)
         from stlpose_tpu.serving.export import export_two_stage_server
 
-        detector, det_cfg = build_detector(
+        # live-BN restore template regardless of a leaked
+        # STLPOSE_FRCNN_TRUNK_QUANT env (checkpoints hold live-BN
+        # variables; the flavor is controlled solely by --trunk_quant)
+        detector, det_cfg = live_template_detector(
             exp_data, os.environ.get("STLPOSE_DETECTOR_CONFIG"))
         det_state, _ = create_train_state(
             _DetectorModelShim(detector), exp_data,

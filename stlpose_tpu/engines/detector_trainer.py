@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from stlpose_tpu.config import CONFIG
@@ -102,38 +103,37 @@ class _DetectorModelShim:
 
 
 def live_template_detector(exp_data: dict, detector_config=None):
-    """The same factory as ``build_detector`` with the trunk-flavor env
-    stripped: checkpoints hold LIVE-BN variables, so restore templates
-    must come from a live-BN facade even when serving wants a
-    folded/quantized trunk (STLPOSE_FRCNN_TRUNK_QUANT)."""
+    """The same factory as ``build_detector`` — same ``(detector,
+    config)`` return — with the trunk-flavor env stripped: checkpoints
+    hold LIVE-BN variables, so restore templates must come from a
+    live-BN facade even when serving wants a folded/quantized trunk
+    (STLPOSE_FRCNN_TRUNK_QUANT)."""
     old = os.environ.pop("STLPOSE_FRCNN_TRUNK_QUANT", None)
     try:
-        det, _ = build_detector(exp_data, detector_config)
+        return build_detector(exp_data, detector_config)
     finally:
         if old is not None:
             os.environ["STLPOSE_FRCNN_TRUNK_QUANT"] = old
-    return det
 
 
 def apply_trunk_flavor(detector, det_cfg, state, calib_batch_fn=None):
     """Transform a live-BN detector state for ``detector.trunk_quant``
     ("folded" folds the ResNet BNs; "int8"/"int8u" additionally bake the
     PTQ bottlenecks, calibrating on ``calib_batch_fn()`` — real images in
-    the exact predict convention). No-op for the live flavor."""
+    the exact predict convention). No-op for the live flavor.
+    Calibration runs in the detector's SERVING dtype (bf16 engines
+    calibrate a bf16 trunk), matching the serving exports."""
     tq = getattr(detector, "trunk_quant", "none")
     if tq == "none":
         return state
-    from stlpose_tpu.models.quantize import (fold_frcnn_trunk,
-                                             quantize_frcnn_trunk)
+    from stlpose_tpu.models.quantize import apply_trunk_flavor_variables
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if tq == "folded":
-        variables = fold_frcnn_trunk(variables)
-    else:
-        if calib_batch_fn is None:
-            raise ValueError(f"trunk_quant={tq!r} needs calibration images")
-        variables = quantize_frcnn_trunk(
-            det_cfg, variables, [np.asarray(calib_batch_fn())],
-            act_scheme=("signed" if tq == "int8" else "unsigned"))
+    calib = ([np.asarray(calib_batch_fn())]
+             if calib_batch_fn is not None and tq in ("int8", "int8u")
+             else None)
+    variables = apply_trunk_flavor_variables(
+        det_cfg, variables, tq, calib_batches=calib,
+        dtype=getattr(detector.module, "dtype", jnp.float32))
     return state.replace(params=variables["params"],
                          batch_stats=variables.get("batch_stats", {}))
 
@@ -357,7 +357,7 @@ class DetectorEvaluator:
         # runbook's trunk-quant leg (RUNBOOK_AP_PARITY.md §3c).
         tq = getattr(self.detector, "trunk_quant", "none")
         shim = _DetectorModelShim(
-            live_template_detector(self.exp_data, self.detector_config)
+            live_template_detector(self.exp_data, self.detector_config)[0]
             if tq != "none" else self.detector)
         self.state, _ = create_train_state(
             shim, self.exp_data, jax.random.PRNGKey(CONFIG["random_seed"]),

@@ -264,7 +264,7 @@ class VaseEvaluator:
             _DetectorModelShim, apply_trunk_flavor, live_template_detector)
         tq = getattr(self.detector, "trunk_quant", "none")
         shim = _DetectorModelShim(
-            live_template_detector(self.exp_data, self.detector_config)
+            live_template_detector(self.exp_data, self.detector_config)[0]
             if tq != "none" else self.detector)
         self.det_state, _ = create_train_state(
             shim, self.exp_data, shim_rng, (1,))
@@ -272,9 +272,19 @@ class VaseEvaluator:
             self.det_state, _ = load_checkpoint(
                 self.det_state, self.exp_path, self.detector_checkpoint,
                 detector=True, only_model=True)
+        def _calib_batch():
+            pipe = getattr(self, "pipe", None)
+            if pipe is None:
+                raise RuntimeError(
+                    f"trunk_quant={tq!r} calibrates on the first image "
+                    "batch: call load_vase_subset() before "
+                    "setup_models(), or set ev.pipe = [{'image': batch}] "
+                    "with a (N, S, S, 3) 0-1 float batch")
+            return next(iter(pipe))["image"]
+
         self.det_state = apply_trunk_flavor(
             self.detector, self.det_cfg, self.det_state,
-            calib_batch_fn=lambda: next(iter(self.pipe))["image"])
+            calib_batch_fn=_calib_batch)
         self.det_predict = make_detector_predict(self.detector, self.mesh)
         # pose model
         model = PoseHighResolutionNet(config=get_hrnet_config(config_name),

@@ -241,6 +241,42 @@ def quantize_frcnn_trunk(config, variables, batches, dtype=jnp.float32,
     return out
 
 
+def apply_trunk_flavor_variables(config, variables, trunk_quant,
+                                 calib_batches=None, dtype=jnp.float32):
+    """The single variables-level entry point for the detector trunk
+    serving flavors: transform live-BN Faster R-CNN variables for a
+    ``FasterRCNN(trunk_quant=...)`` facade. Every consumer (the
+    evaluator engines, both serving exports, bench.py's detector and
+    two-stage modes) routes through here so flavor semantics — the
+    fold, the act scheme per flavor, the calibration dtype — cannot
+    drift between call sites.
+
+    Args:
+      config: the detector's ``FasterRCNNConfig``.
+      variables: live-BN detector variables ({"params", "batch_stats"}).
+      trunk_quant: "none" (no-op) / "folded" / "int8" / "int8u".
+      calib_batches: iterable of image batches in the exact predict
+        convention (0-1 floats) — required for the int8 flavors.
+      dtype: the SERVING compute dtype; calibration must run the folded
+        trunk in the same dtype the served graph uses, or activation
+        scales derive from a different compute path than serving.
+    """
+    if trunk_quant in (None, "none"):
+        return variables
+    if trunk_quant == "folded":
+        return fold_frcnn_trunk(variables)
+    if trunk_quant in ("int8", "int8u"):
+        if not calib_batches:
+            raise ValueError(
+                f"trunk_quant={trunk_quant!r} requires calibration "
+                f"images (calib_batches)")
+        return quantize_frcnn_trunk(
+            config, variables, calib_batches, dtype=dtype,
+            act_scheme=("signed" if trunk_quant == "int8"
+                        else "unsigned"))
+    raise ValueError(f"unknown trunk_quant {trunk_quant!r}")
+
+
 def quantize_hrnet_from_batches(config_name, variables, batches,
                                 dtype=jnp.float32,
                                 act_scheme: str = "signed"):

@@ -248,18 +248,11 @@ def export_detector_server(variables, out_dir: str,
                   trunk_quant=trunk_quant)
         det = (FasterRCNN(config, **kw) if config is not None
                else FasterRCNN(**kw))
-        if trunk_quant == "folded":
-            from stlpose_tpu.models.quantize import fold_frcnn_trunk
-            variables = fold_frcnn_trunk(variables)
-        elif trunk_quant in ("int8", "int8u"):
-            from stlpose_tpu.models.quantize import quantize_frcnn_trunk
-            if calib_batches is None:
-                raise ValueError(
-                    f"trunk_quant={trunk_quant!r} requires calib_batches")
-            variables = quantize_frcnn_trunk(
-                det.config, variables, calib_batches, dtype=dtype,
-                act_scheme=("signed" if trunk_quant == "int8"
-                            else "unsigned"))
+        from stlpose_tpu.models.quantize import \
+            apply_trunk_flavor_variables
+        variables = apply_trunk_flavor_variables(
+            det.config, variables, trunk_quant,
+            calib_batches=calib_batches, dtype=dtype)
     elif family == "efficientdet":
         if trunk_quant != "none":
             raise ValueError("trunk_quant is a faster_rcnn flavor")
@@ -390,20 +383,11 @@ def export_two_stage_server(det_variables, pose_variables, out_dir: str,
         kw = dict(dtype=dtype, pallas_roi=pallas, trunk_quant=trunk_quant)
         det = (FasterRCNN(det_config, **kw) if det_config is not None
                else FasterRCNN(**kw))
-        if trunk_quant == "folded":
-            from stlpose_tpu.models.quantize import fold_frcnn_trunk
-            det_variables = fold_frcnn_trunk(det_variables)
-        elif trunk_quant in ("int8", "int8u"):
-            from stlpose_tpu.models.quantize import quantize_frcnn_trunk
-            if calib_batches is None:
-                raise ValueError(
-                    f"trunk_quant={trunk_quant!r} requires calib_batches")
-            det_variables = quantize_frcnn_trunk(
-                det.config, det_variables, calib_batches, dtype=dtype,
-                act_scheme=("signed" if trunk_quant == "int8"
-                            else "unsigned"))
-        elif trunk_quant != "none":
-            raise ValueError(f"unknown trunk_quant {trunk_quant!r}")
+        from stlpose_tpu.models.quantize import \
+            apply_trunk_flavor_variables
+        det_variables = apply_trunk_flavor_variables(
+            det.config, det_variables, trunk_quant,
+            calib_batches=calib_batches, dtype=dtype)
     elif family == "efficientdet":
         if trunk_quant != "none":
             raise ValueError("trunk_quant is a faster_rcnn flavor")
