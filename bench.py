@@ -47,6 +47,27 @@ import numpy as np
 TARGET = 5000.0  # crops/sec/chip (BASELINE.json north star)
 
 
+def archive_extra(result):
+    """Merge one result into BENCH_extra.json keyed by metric name —
+    the SINGLE archival path for bench.py main() and the
+    scripts/measure_*.py one-process measurement batches, so the format
+    and the guards cannot drift. Tiny-config CPU smokes
+    (STLPOSE_BENCH_TINY) never overwrite real hardware numbers.
+    Returns whether the result was archived."""
+    if os.environ.get("STLPOSE_BENCH_TINY"):
+        return False
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_extra.json")
+    blob = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            blob = json.load(f)
+    blob[result["metric"]] = result
+    with open(path, "w") as f:
+        json.dump(blob, f, indent=1)
+    return True
+
+
 def _setup():
     import jax
     from stlpose_tpu.utils.cache import enable_compilation_cache
@@ -552,6 +573,15 @@ def bench_detector(batch, iters, warmup, dtype="float32", preset=None,
         # impractical on the 1-vCPU host); never set on real measurements
         from stlpose_tpu.models.faster_rcnn import FASTER_RCNN_TINY
         cfg = FASTER_RCNN_TINY
+    # resolve env-selected flavors HERE (the same resolution the facade
+    # would do) so the metric name, the detail record, and the
+    # trunk-variables path all match what actually runs — an env-selected
+    # flavor must not be archived under the baseline metric name
+    if roi_patch_quant is None:
+        roi_patch_quant = (os.environ.get("STLPOSE_PALLAS_ROI_INT8")
+                           or "0") != "0"
+    if trunk_quant is None:
+        trunk_quant = os.environ.get("STLPOSE_FRCNN_TRUNK_QUANT") or "none"
     kw = dict(dtype=jnp.dtype(dtype), roi_mode=roi_mode,
               roi_patch_quant=roi_patch_quant, trunk_quant=trunk_quant)
     model = FasterRCNN(cfg, **kw) if cfg is not None else FasterRCNN(**kw)
@@ -673,30 +703,35 @@ def bench_two_stage_engine(batch, iters, warmup, dtype="float32",
     env_keys = ("STLPOSE_DTYPE", "STLPOSE_FRCNN_TRUNK_QUANT",
                 "STLPOSE_PALLAS_ROI_INT8")
     env_saved = {k: os.environ.get(k) for k in env_keys}
-    if dtype != "float32":
-        os.environ["STLPOSE_DTYPE"] = "bfloat16"
-    if trunk_quant and trunk_quant != "none":
-        os.environ["STLPOSE_FRCNN_TRUNK_QUANT"] = trunk_quant
-    if roi_quant:
-        os.environ["STLPOSE_PALLAS_ROI_INT8"] = "1"
-    from stlpose_tpu.engines.detector_trainer import build_detector
-    from stlpose_tpu.engines.vase_evaluator import VaseEvaluator
-    from stlpose_tpu.utils.experiment import create_experiment
-
-    root = tempfile.mkdtemp()
-    exp_path = create_experiment("bench_engine", {"batch_size": batch},
-                                 root=root)
-    # CPU smoke of the bench plumbing itself (full-size programs are
-    # impractical on the 1-vCPU host); never set on real measurements —
-    # archiving to BENCH_extra.json is skipped under this knob
-    tiny = bool(os.environ.get("STLPOSE_BENCH_TINY"))
-    det_name = f"{family}_tiny" if tiny else family
-    pose_cfg_name = "tiny" if tiny else "w32_256x192"
-    # budget matches the twostage_compact density emulation (U[1,3]
-    # persons/image, 8-aligned) so the two numbers are comparable
-    rngb = np.random.RandomState(0)
-    budget = int(-(-int(rngb.randint(1, 4, size=batch).sum()) // 8) * 8)
     try:
+        # mutations live INSIDE the try so an exception anywhere below
+        # (imports, experiment creation, engine construction) cannot
+        # leak the flavored env into the caller's later legs
+        if dtype != "float32":
+            os.environ["STLPOSE_DTYPE"] = "bfloat16"
+        if trunk_quant and trunk_quant != "none":
+            os.environ["STLPOSE_FRCNN_TRUNK_QUANT"] = trunk_quant
+        if roi_quant:
+            os.environ["STLPOSE_PALLAS_ROI_INT8"] = "1"
+        from stlpose_tpu.engines.detector_trainer import build_detector
+        from stlpose_tpu.engines.vase_evaluator import VaseEvaluator
+        from stlpose_tpu.utils.experiment import create_experiment
+
+        root = tempfile.mkdtemp()
+        exp_path = create_experiment("bench_engine",
+                                     {"batch_size": batch}, root=root)
+        # CPU smoke of the bench plumbing itself (full-size programs are
+        # impractical on the 1-vCPU host); never set on real
+        # measurements — archiving to BENCH_extra.json is skipped under
+        # this knob
+        tiny = bool(os.environ.get("STLPOSE_BENCH_TINY"))
+        det_name = f"{family}_tiny" if tiny else family
+        pose_cfg_name = "tiny" if tiny else "w32_256x192"
+        # budget matches the twostage_compact density emulation (U[1,3]
+        # persons/image, 8-aligned) so the two numbers are comparable
+        rngb = np.random.RandomState(0)
+        budget = int(-(-int(rngb.randint(1, 4, size=batch).sum()) // 8)
+                     * 8)
         ev = VaseEvaluator(exp_path, bbox_thr=0.5, max_dets=dets_per_img,
                            detector_config=det_name, save=False,
                            use_fused=True, crop_budget=budget)
@@ -817,6 +852,15 @@ def bench_two_stage_compact(batch, iters, warmup, dtype="float32",
     else:
         from stlpose_tpu.models.faster_rcnn import (FASTER_RCNN_TINY,
                                                     FasterRCNN)
+        # resolve env-selected flavors (same resolution as the facade) so
+        # metric naming and the trunk-variables path match what runs —
+        # see bench_detector
+        if roi_patch_quant is None:
+            roi_patch_quant = (os.environ.get("STLPOSE_PALLAS_ROI_INT8")
+                               or "0") != "0"
+        if trunk_quant is None:
+            trunk_quant = (os.environ.get("STLPOSE_FRCNN_TRUNK_QUANT")
+                           or "none")
         dkw = dict(dtype=jnp.dtype(dtype), trunk_quant=trunk_quant,
                    roi_patch_quant=roi_patch_quant)
         if os.environ.get("STLPOSE_BENCH_TINY"):
@@ -1082,20 +1126,10 @@ def main():
     # everything except the driver's headline --mode infer run is
     # archived in BENCH_extra.json (incl. --mode infer --dtype int8 and
     # --mode sweep, whose winning run carries the headline metric name
-    # but also the per-batch sweep detail worth keeping); tiny-config CPU
-    # smokes (STLPOSE_BENCH_TINY) never overwrite real hardware numbers
-    if not os.environ.get("STLPOSE_BENCH_TINY") and (
-            args.mode != "infer"
+    # but also the per-batch sweep detail worth keeping)
+    if (args.mode != "infer"
             or result["metric"] != "hrnet_w32_256x192_inference_throughput"):
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_extra.json")
-        blob = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                blob = json.load(f)
-        blob[result["metric"]] = result
-        with open(path, "w") as f:
-            json.dump(blob, f, indent=1)
+        archive_extra(result)
     print(json.dumps(result))
 
 

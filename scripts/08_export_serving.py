@@ -123,14 +123,16 @@ def main():
     out_dir = args.out or os.path.join(exp_path, "serving_export")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     platforms = tuple(args.platforms.split(","))
-    if args.pipeline == "detector":
+    def _restored_detector_and_calib():
+        """Shared by the detector and two_stage pipelines: restore the
+        detector checkpoint through a live-BN template (regardless of a
+        leaked STLPOSE_FRCNN_TRUNK_QUANT env — checkpoints hold live-BN
+        variables; the serving flavor is controlled solely by
+        --trunk_quant) and load the PTQ calibration crops once, so the
+        two export paths cannot drift in restore or calib conventions."""
         from stlpose_tpu.engines.detector_trainer import (
             live_template_detector, _DetectorModelShim)
-        from stlpose_tpu.serving import export_detector_server
 
-        # live-BN restore template regardless of a leaked
-        # STLPOSE_FRCNN_TRUNK_QUANT env (checkpoints hold live-BN
-        # variables; the flavor is controlled solely by --trunk_quant)
         detector, det_cfg = live_template_detector(
             exp_data, os.environ.get("STLPOSE_DETECTOR_CONFIG"))
         det_state, _ = create_train_state(
@@ -152,39 +154,21 @@ def main():
             calib = [_load_calib_crops(args.calib_images, (S, S),
                                        args.calib_count)
                      .astype("float32") / 255.0]
+        return det_cfg, det_state, family, calib
+
+    if args.pipeline == "detector":
+        from stlpose_tpu.serving import export_detector_server
+
+        det_cfg, det_state, family, calib = _restored_detector_and_calib()
         export_detector_server(
             det_state.variables(), out_dir, family=family,
             config=det_cfg, static_batch=args.batch,
             platforms=platforms, image_dtype=args.image_dtype,
             trunk_quant=args.trunk_quant, calib_batches=calib)
     elif args.pipeline == "two_stage":
-        from stlpose_tpu.engines.detector_trainer import (
-            live_template_detector, _DetectorModelShim)
         from stlpose_tpu.serving.export import export_two_stage_server
 
-        # live-BN restore template regardless of a leaked
-        # STLPOSE_FRCNN_TRUNK_QUANT env (checkpoints hold live-BN
-        # variables; the flavor is controlled solely by --trunk_quant)
-        detector, det_cfg = live_template_detector(
-            exp_data, os.environ.get("STLPOSE_DETECTOR_CONFIG"))
-        det_state, _ = create_train_state(
-            _DetectorModelShim(detector), exp_data,
-            jax.random.PRNGKey(CONFIG["random_seed"]), (1,))
-        if args.detector_checkpoint is not None:
-            det_state, _ = load_checkpoint(
-                det_state, exp_path, args.detector_checkpoint,
-                detector=True, only_model=True)
-        family = ("efficientdet" if "efficientdet" in
-                  type(detector).__name__.lower() else "faster_rcnn")
-        calib = None
-        if args.trunk_quant in ("int8", "int8u"):
-            if args.calib_images is None:
-                ap.error(f"--trunk_quant {args.trunk_quant} requires "
-                         "--calib_images")
-            S = det_cfg.image_size
-            calib = [_load_calib_crops(args.calib_images, (S, S),
-                                       args.calib_count)
-                     .astype("float32") / 255.0]
+        det_cfg, det_state, family, calib = _restored_detector_and_calib()
         export_two_stage_server(
             det_state.variables(), variables, out_dir, family=family,
             det_config=det_cfg, pose_config_name=config_name,

@@ -22,18 +22,9 @@ import bench as B
 
 
 def archive(result):
-    if os.environ.get("STLPOSE_BENCH_TINY"):
-        # smoke runs print but never pollute the measurement archive
-        print(json.dumps(result), flush=True)
-        return
-    path = os.path.join(REPO, "BENCH_extra.json")
-    blob = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            blob = json.load(f)
-    blob[result["metric"]] = result
-    with open(path, "w") as f:
-        json.dump(blob, f, indent=1)
+    # one shared archival path (tiny smoke runs print but never pollute
+    # the measurement archive — bench.archive_extra guards that)
+    B.archive_extra(result)
     print(json.dumps(result), flush=True)
 
 

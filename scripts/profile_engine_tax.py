@@ -24,9 +24,12 @@ Writes PROFILE_engine_tax.json. Run on the TPU chip with a quiet host
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

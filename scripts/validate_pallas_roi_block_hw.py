@@ -11,11 +11,13 @@ stay bit-exact vs the XLA formulation.
 
 One process (one-JAX-process rule; chained honest timing from bench.py):
 
-  step 1  f32 blocked (KB=auto) vs XLA: bit-exactness + silent-zero scan
-          on the real 400px / C=256 geometry, 4 adversarial box regimes
+  step 1  f32 default (KB=1) AND f32 blocked (explicit pp2, the max f32
+          block after the VMEM auto-cap) vs XLA: bit-exactness +
+          silent-zero scan on the real 400px / C=256 geometry,
+          4 adversarial box regimes
   step 2  bf16 pp4 vs pp1 and int8-patch pp4 vs pp1: bit-identity
   step 3  full Faster R-CNN predict throughput A/B at B=16 over
-          KB in {1,2,4} x {plain bf16, int8 patches} + f32 (auto-cap 2),
+          KB in {1,2,4} x {plain bf16, int8 patches} + f32 pp1/pp2,
           with cross-KB checksum equality through the whole program
 
 Prints one JSON line per step. Reference role: torchvision RoIAlign,
@@ -52,16 +54,25 @@ def main():
     cases = _cases(img)
     all_ok = True
 
-    # ---- step 1: f32 blocked vs XLA ------------------------------------
-    per_case = {}
-    for name, boxes in cases.items():
-        out = np.asarray(multilevel_roi_align_pallas(
-            feats, boxes, strides, mode="pp"))       # env/default block
-        ref = np.asarray(multilevel_roi_align(feats, boxes, strides))
-        per_case[name] = _scan(out, ref, 1e-4)
-        all_ok &= per_case[name]["ok"]
-    print(json.dumps({"step": "f32_blocked_vs_xla", "ok": all_ok,
-                      "cases": per_case}), flush=True)
+    # ---- step 1: f32 default (KB=1) and f32 BLOCKED (pp2) vs XLA -------
+    # NB: bare mode="pp" resolves KB from STLPOSE_PALLAS_ROI_BLOCK
+    # (default 1), so the blocked leg must pin the block EXPLICITLY —
+    # the original round-5b run of this script validated only KB=1 here
+    # (pp2 is the largest f32 block after the VMEM auto-cap; KB=4's
+    # ~11.8 MB f32 scratch caps to 2)
+    for leg, mode in (("f32_default_kb1_vs_xla", "pp"),
+                      ("f32_blocked_pp2_vs_xla", "pp2")):
+        per_case = {}
+        leg_ok = True
+        for name, boxes in cases.items():
+            out = np.asarray(multilevel_roi_align_pallas(
+                feats, boxes, strides, mode=mode))
+            ref = np.asarray(multilevel_roi_align(feats, boxes, strides))
+            per_case[name] = _scan(out, ref, 1e-4)
+            leg_ok &= per_case[name]["ok"]
+        all_ok &= leg_ok
+        print(json.dumps({"step": leg, "ok": leg_ok,
+                          "cases": per_case}), flush=True)
 
     # ---- step 2: blocked vs unblocked bit-identity ----------------------
     feats16 = [f.astype(jnp.bfloat16) for f in feats]
@@ -97,7 +108,8 @@ def main():
         ("bfloat16", "pp4", False),
         ("bfloat16", "pp1", True),
         ("bfloat16", "pp4", True),
-        ("float32", "pp", False),        # VMEM auto-cap -> KB=2
+        ("float32", "pp1", False),       # the shipping default (KB=1)
+        ("float32", "pp2", False),       # max f32 block (auto-cap at 2)
     ]
     checks = {}
     for dtype, mode, quant in runs:
@@ -113,7 +125,9 @@ def main():
                                   checks["bfloat16/pp2"],
                                   checks["bfloat16/pp4"]}) == 1,
         "int8_blocks_equal": checks["bfloat16/pp1/int8"]
-        == checks["bfloat16/pp4/int8"]}), flush=True)
+        == checks["bfloat16/pp4/int8"],
+        "f32_blocks_equal": checks["float32/pp1"]
+        == checks["float32/pp2"]}), flush=True)
 
 
 if __name__ == "__main__":
